@@ -1,0 +1,2 @@
+"""Neural models (RNNoise, DeepFilterNet3-style, Silero-style VAD) and the
+control-rate model-adjacent logic (VAD auto-gate, suppressor engine)."""

@@ -1,0 +1,258 @@
+"""10-band parametric EQ as a fused section cascade.
+
+Behavioural contract mirrors the reference EQ (`rust-core/src/dsp/eq.rs`):
+
+- Band layout: band 0 low shelf @ 80 Hz, bands 1-8 bells 160 Hz - 12 kHz,
+  band 9 high shelf @ 16 kHz (`eq.rs:12-23`); default Q 1.41.
+- Per-band filter types {low_shelf, bell, high_shelf, notch, high_pass,
+  low_pass} (`eq.rs:44-53`); pass filters are 1-4 cascaded Butterworth
+  sections for 12/24/36/48 dB/oct with section Q
+  ``1 / (2 cos((2k+1)π / 2N))`` (`eq.rs:203-213`).
+- Validation ranges: gain ±12 dB, Q 0.1-10, frequency 20 Hz .. Nyquist-1
+  (`eq.rs:36-41,141-201`).
+- Live edits crossfade per-section; retired sections keep processing until
+  their crossfade to bypass completes (`eq.rs:300-306`) — here retired
+  sections crossfade to bypass coefficients and then stay as exact-bypass
+  lanes, which is branch-free and numerically identical.
+- ``magnitude_response_db`` is the exact cascaded response shared with UI and
+  calibration (`eq.rs:528-541`).
+
+TPU-native design: the EQ is a fixed ``NUM_BANDS * MAX_PASS_SECTIONS = 40``
+section cascade with static shapes. Unused sections hold bypass
+coefficients. The cascade runs as a ``lax.scan`` over the section axis whose
+body is one dual-lane crossfaded biquad (compiled once, applied 40 times),
+each evaluating its block with a parallel associative scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import biquad
+
+__all__ = [
+    "NUM_BANDS",
+    "MAX_PASS_SECTIONS",
+    "NUM_SECTIONS",
+    "DEFAULT_FREQUENCIES",
+    "DEFAULT_Q",
+    "SUPPORTED_PASS_SLOPES",
+    "EQ_GAIN_MIN_DB",
+    "EQ_GAIN_MAX_DB",
+    "EQ_Q_MIN",
+    "EQ_Q_MAX",
+    "EQ_FREQ_MIN_HZ",
+    "EQ_NYQUIST_MARGIN_HZ",
+    "FILTER_TYPE_NAMES",
+    "EqBandConfig",
+    "default_bands",
+    "validate_band",
+    "band_section_design",
+    "bands_to_sections",
+    "eq_init",
+    "eq_set_band",
+    "eq_set_bands",
+    "eq_reset",
+    "eq_process",
+    "magnitude_response_db",
+]
+
+NUM_BANDS = 10
+MAX_PASS_SECTIONS = 4
+NUM_SECTIONS = NUM_BANDS * MAX_PASS_SECTIONS
+
+DEFAULT_FREQUENCIES = (
+    80.0, 160.0, 320.0, 640.0, 1280.0, 2500.0, 5000.0, 8000.0, 12000.0, 16000.0
+)
+DEFAULT_Q = 1.41
+SUPPORTED_PASS_SLOPES = (12, 24, 36, 48)
+EQ_GAIN_MIN_DB = -12.0
+EQ_GAIN_MAX_DB = 12.0
+EQ_Q_MIN = 0.1
+EQ_Q_MAX = 10.0
+EQ_FREQ_MIN_HZ = 20.0
+EQ_NYQUIST_MARGIN_HZ = 1.0
+
+# Stable public ids shared with config schema v2 (`eq.rs:44-53`).
+FILTER_TYPE_NAMES = {
+    0: "low_shelf",
+    1: "bell",
+    2: "high_shelf",
+    3: "notch",
+    4: "high_pass",
+    5: "low_pass",
+}
+_NAME_TO_ID = {v: k for k, v in FILTER_TYPE_NAMES.items()}
+_PASS_TYPES = (4, 5)
+
+_EQ_TYPE_TO_BIQUAD = {
+    0: biquad.LOW_SHELF,
+    1: biquad.PEAKING,
+    2: biquad.HIGH_SHELF,
+    3: biquad.NOTCH,
+    4: biquad.HIGH_PASS,
+    5: biquad.LOW_PASS,
+}
+
+
+@dataclass(frozen=True)
+class EqBandConfig:
+    """One band's realtime configuration (`eq.rs:113-120`)."""
+
+    filter_type: int = 1  # bell
+    frequency_hz: float = 1000.0
+    gain_db: float = 0.0
+    q: float = DEFAULT_Q
+    slope_db_per_octave: int = 12
+    enabled: bool = True
+
+    @staticmethod
+    def type_id(value) -> int:
+        if isinstance(value, str):
+            return _NAME_TO_ID[value]
+        return int(value)
+
+
+def default_bands() -> list[EqBandConfig]:
+    """The reference's default 10-band layout (`eq.rs:12-29`)."""
+    bands = []
+    for i, freq in enumerate(DEFAULT_FREQUENCIES):
+        if i == 0:
+            ftype = 0  # low shelf
+        elif i == NUM_BANDS - 1:
+            ftype = 2  # high shelf
+        else:
+            ftype = 1  # bell
+        bands.append(EqBandConfig(ftype, freq, 0.0, DEFAULT_Q, 12, True))
+    return bands
+
+
+def validate_band(config: EqBandConfig, sample_rate: float) -> None:
+    """Range validation mirroring `eq.rs:36-41,141-201`."""
+    if config.filter_type not in FILTER_TYPE_NAMES:
+        raise ValueError(f"unknown filter type {config.filter_type}")
+    nyquist = sample_rate / 2.0
+    if not (EQ_FREQ_MIN_HZ <= config.frequency_hz <= nyquist - EQ_NYQUIST_MARGIN_HZ):
+        raise ValueError(
+            f"frequency {config.frequency_hz} Hz outside "
+            f"[{EQ_FREQ_MIN_HZ}, {nyquist - EQ_NYQUIST_MARGIN_HZ}]"
+        )
+    if not (EQ_GAIN_MIN_DB <= config.gain_db <= EQ_GAIN_MAX_DB):
+        raise ValueError(f"gain {config.gain_db} dB outside ±12 dB")
+    if not (EQ_Q_MIN <= config.q <= EQ_Q_MAX):
+        raise ValueError(f"Q {config.q} outside [{EQ_Q_MIN}, {EQ_Q_MAX}]")
+    if config.filter_type in _PASS_TYPES and (
+        config.slope_db_per_octave not in SUPPORTED_PASS_SLOPES
+    ):
+        raise ValueError(
+            f"slope {config.slope_db_per_octave} dB/oct unsupported; "
+            f"expected one of {SUPPORTED_PASS_SLOPES}"
+        )
+
+
+def _butterworth_section_q(section_index: int, section_count: int) -> float:
+    """`eq.rs:203-207`."""
+    order = 2 * section_count
+    angle = (2 * section_index + 1) * np.pi / (2 * order)
+    return 1.0 / (2.0 * np.cos(angle))
+
+
+def _required_sections(config: EqBandConfig) -> int:
+    if not config.enabled:
+        return 0
+    if config.filter_type in _PASS_TYPES:
+        return config.slope_db_per_octave // 12
+    return 1
+
+
+def band_section_design(config: EqBandConfig, sample_rate: float) -> np.ndarray:
+    """Host float64 coefficients for a band's MAX_PASS_SECTIONS slots.
+
+    Unused slots get exact bypass. Mirrors `eq.rs:246-276` section
+    parameterisation.
+    """
+    out = np.zeros((MAX_PASS_SECTIONS, 5), np.float64)
+    out[:, 0] = 1.0  # bypass
+    n = _required_sections(config)
+    for k in range(n):
+        if config.filter_type in _PASS_TYPES:
+            btype = _EQ_TYPE_TO_BIQUAD[config.filter_type]
+            gain = 0.0
+            q = _butterworth_section_q(k, n)
+        else:
+            btype = _EQ_TYPE_TO_BIQUAD[config.filter_type]
+            gain = 0.0 if config.filter_type == 3 else config.gain_db
+            q = config.q
+        out[k] = biquad.design(btype, config.frequency_hz, gain, q, sample_rate)
+    return out
+
+
+def bands_to_sections(bands, sample_rate: float) -> np.ndarray:
+    """All bands -> ``(NUM_SECTIONS, 5)`` float64 coefficient matrix."""
+    return np.concatenate(
+        [band_section_design(b, sample_rate) for b in bands], axis=0
+    )
+
+
+# --------------------------------------------------------------------------
+# State management. EQ state = one biquad unit state with a leading section
+# axis of NUM_SECTIONS.
+# --------------------------------------------------------------------------
+
+
+def eq_init(bands=None, sample_rate: float = 48000.0):
+    bands = default_bands() if bands is None else bands
+    coeffs = bands_to_sections(bands, sample_rate)
+    return biquad.unit_init(jnp.asarray(coeffs, jnp.float32))
+
+
+def eq_set_band(state, band_index: int, config: EqBandConfig, sample_rate: float):
+    """Crossfaded single-band update (`eq.rs:477-481`)."""
+    validate_band(config, sample_rate)
+    target = band_section_design(config, sample_rate)
+    fade = biquad.crossfade_samples(sample_rate)
+    sl = slice(band_index * MAX_PASS_SECTIONS, (band_index + 1) * MAX_PASS_SECTIONS)
+    sub = jax.tree_util.tree_map(lambda a: a[sl], state)
+    sub = biquad.unit_schedule(sub, jnp.asarray(target, jnp.float32), fade)
+    return jax.tree_util.tree_map(
+        lambda full, part: full.at[sl].set(part), state, sub
+    )
+
+
+def eq_set_bands(state, bands, sample_rate: float):
+    for i, b in enumerate(bands):
+        state = eq_set_band(state, i, b, sample_rate)
+    return state
+
+
+def eq_reset(state):
+    return biquad.unit_reset_state(state)
+
+
+@jax.jit
+def eq_process(state, x):
+    """Cascade a block ``x: [..., T]`` through all sections.
+
+    ``lax.scan`` over the section axis: the body (one crossfaded biquad over
+    the block) compiles once. Returns ``(new_state, y)``.
+    """
+
+    def body(carry, section_state):
+        new_state, y = biquad.unit_process(section_state, carry)
+        return y, new_state
+
+    y, new_state = jax.lax.scan(body, x, state)
+    return new_state, y
+
+
+def magnitude_response_db(bands, frequencies, sample_rate: float) -> np.ndarray:
+    """Exact cascaded magnitude response in dB (`eq.rs:528-541`), host f64."""
+    coeffs = bands_to_sections(bands, sample_rate)
+    per_section = biquad.magnitude_response_db(
+        coeffs, np.asarray(frequencies, np.float64), sample_rate
+    )
+    return per_section.sum(axis=0)
