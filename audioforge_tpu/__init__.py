@@ -13,3 +13,24 @@ batched over streams and calibration candidates with ``vmap``/``pjit``.
 __version__ = "0.1.0"
 
 CORE_AVAILABLE = True
+
+from .api import (  # noqa: E402,F401
+    eq_magnitude_response,
+    eq_magnitude_response_v2,
+    simulate_eq_v2,
+    measure_integrated_loudness,
+    simulate_auto_eq_chain,
+    simulate_auto_makeup_control,
+    compressor_pumping_score,
+)
+
+__all__ = [
+    "CORE_AVAILABLE",
+    "eq_magnitude_response",
+    "eq_magnitude_response_v2",
+    "simulate_eq_v2",
+    "measure_integrated_loudness",
+    "simulate_auto_eq_chain",
+    "simulate_auto_makeup_control",
+    "compressor_pumping_score",
+]

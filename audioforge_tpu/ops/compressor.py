@@ -93,15 +93,24 @@ def compressor_params(
     target_lufs: float = -18.0,
     noise_reference_reliability: float = 0.0,
     sidechain_highpass_hz: float = SIDECHAIN_HIGHPASS_DEFAULT_HZ,
+    detector_release_ms: float | None = None,
 ):
-    """Traced numeric parameters (control changes never recompile)."""
+    """Traced numeric parameters (control changes never recompile).
+
+    ``detector_release_ms``: the peak-detector release is pinned at
+    construction time in the reference (`compressor.rs:155` sets
+    ``detector_release_coeff`` from the constructor's release and no setter
+    updates it); defaults to ``release_ms``.
+    """
     fs = config.sample_rate
     cutoff = min(max(sidechain_highpass_hz, 20.0), fs * 0.45)
     omega = 2.0 * np.pi * cutoff / max(fs, 1.0)
+    det_rel = release_ms if detector_release_ms is None else detector_release_ms
     return {
         "threshold_db": jnp.float32(threshold_db),
         "ratio": jnp.float32(max(ratio, 1.0)),
         "attack_coeff": jnp.float32(_coeff(attack_ms, fs)),
+        "detector_release_coeff": jnp.float32(_coeff(det_rel, fs)),
         "base_release_ms": jnp.float32(release_ms),
         "makeup_gain_db": jnp.float32(makeup_gain_db),
         "knee_db": jnp.float32(max(knee_db, 0.0)),
@@ -235,7 +244,10 @@ def _compressor_block(config, params, state, x, evidence, limiter_feedback_db,
     charge_c = jnp.float32(_coeff(ADAPTIVE_SLOW_CHARGE_MS, fs))
     slow_c = jnp.float32(_coeff(ADAPTIVE_SLOW_RELEASE_MS, fs))
 
-    lim_fb = jnp.clip(jnp.asarray(limiter_feedback_db, jnp.float32), 0.0, 24.0)
+    lim_fb = jnp.broadcast_to(
+        jnp.clip(jnp.asarray(limiter_feedback_db, jnp.float32), 0.0, 24.0),
+        state["limiter_feedback_gr_db"].shape,
+    )
 
     # ---- block-level activity estimate on the INPUT block
     power = jnp.mean(x * x, axis=-1)
@@ -246,8 +258,9 @@ def _compressor_block(config, params, state, x, evidence, limiter_feedback_db,
 
     makeup_db = state["smoothed_makeup_gain"]
     makeup_lin = jnp.power(10.0, makeup_db / 20.0)
-    # Loop-invariant: detector peak release uses the BASE release coefficient.
-    base_rel_c = jnp.exp(-1000.0 / (jnp.maximum(params["base_release_ms"], 1e-6) * fs))
+    # Loop-invariant: the peak-detector release coefficient is pinned at
+    # construction time (`compressor.rs:155`), independent of release edits.
+    base_rel_c = params["detector_release_coeff"]
 
     xt = jnp.moveaxis(x, -1, 0)
 
@@ -383,15 +396,16 @@ def _compressor_block(config, params, state, x, evidence, limiter_feedback_db,
         reliability >= AUTO_MAKEUP_RELIABILITY_MIN
     )
     new_meter, lufs_if_fed = loudness.meter_process(state["meter"], y)
-    meter = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(
-            meter_gate.reshape(meter_gate.shape + (1,) * (new.ndim - meter_gate.ndim)),
-            new,
-            old,
-        ),
-        new_meter,
-        state["meter"],
-    )
+    meter = {}
+    for k, new in new_meter.items():
+        old = state["meter"][k]
+        if k == "coeffs":  # shared K-weighting constants, never gated
+            meter[k] = old
+            continue
+        cond = meter_gate.reshape(
+            meter_gate.shape + (1,) * (new.ndim - meter_gate.ndim)
+        )
+        meter[k] = jnp.where(cond, new, old)
 
     # ---- auto makeup control (`compressor.rs:608-663`), block cadence
     elapsed = T

@@ -1,0 +1,197 @@
+"""Offline DSP chain: the deterministic, stream-free processing graph.
+
+Equivalent of ``OfflineDspBlockProcessor``
+(`rust-core/src/audio/processor/block_processor.rs:1-173`): the
+deesser <-> EQ order switch, compressor, limiter, and final true-peak
+limiter (whose ceiling follows the main limiter ceiling), with per-block
+stats {input/output sample peak, pre-limiter true peak, output true peak,
+limiter GR, true-peak GR + limited events, compressor GR, deesser GR}.
+
+TPU-native design: one ``chain_block`` step function composes the stage
+kernels; ``chain_run`` lifts it over a whole take with ``lax.scan`` inside
+one jit — and because everything is a pure function of (config, params,
+state, audio), a *batch* of candidate parameterisations runs as a single
+``vmap`` (the reference evaluates candidates serially through its native
+simulator, `voice_setup.py:699-783`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import compressor as comp_ops
+from ..ops import deesser as des_ops
+from ..ops import eq as eq_ops
+from ..ops import limiter as lim_ops
+from ..ops import true_peak as tp_ops
+
+__all__ = [
+    "ChainConfig",
+    "chain_init",
+    "chain_block",
+    "chain_run",
+    "CAREFUL_OUTPUT_CEILING_DB",
+    "effective_limiter_ceiling_db",
+]
+
+CAREFUL_OUTPUT_CEILING_DB = -1.5  # `control.rs:772`
+
+
+def effective_limiter_ceiling_db(ceiling_db: float, careful_output_enabled: bool) -> float:
+    """`control.rs:904-910`."""
+    return min(ceiling_db, CAREFUL_OUTPUT_CEILING_DB) if careful_output_enabled else ceiling_db
+
+
+@dataclass(frozen=True)
+class ChainConfig:
+    """Static chain structure. Numeric stage parameters (EQ bands,
+    compressor params) are traced so candidate sweeps vmap without
+    recompiling."""
+
+    sample_rate: float = 48000.0
+    deesser_enabled: bool = False
+    eq_enabled: bool = True
+    compressor_enabled: bool = False
+    limiter_enabled: bool = True
+    eq_before_deesser: bool = False
+    deesser: des_ops.DeEsserConfig = des_ops.DeEsserConfig()
+    compressor: comp_ops.CompressorConfig = comp_ops.CompressorConfig()
+    limiter: lim_ops.LimiterConfig = lim_ops.LimiterConfig(
+        ceiling_db=-0.5, release_ms=50.0, lookahead_ms=2.0
+    )
+    tp_release_ms: float = 80.0  # `true_peak.rs:285-287` default
+
+
+def _eq_batch_state(eq_state, batch_shape):
+    """Insert batch axes AFTER the section axis (the scan axis of
+    ``eq_process`` stays leading)."""
+
+    def expand(a):
+        target = a.shape[:1] + batch_shape + a.shape[1:]
+        return jnp.broadcast_to(
+            a.reshape(a.shape[:1] + (1,) * len(batch_shape) + a.shape[1:]), target
+        )
+
+    return jax.tree_util.tree_map(expand, eq_state)
+
+
+def chain_init(config: ChainConfig, comp_params=None, eq_bands=None, batch_shape=()):
+    """Fresh chain state. ``eq_bands``: list of EqBandConfig or None for the
+    flat default layout."""
+    return {
+        "deesser": des_ops.deesser_init(config.deesser, batch_shape),
+        "eq": _eq_batch_state(
+            eq_ops.eq_init(eq_bands, config.sample_rate), batch_shape
+        ),
+        "compressor": comp_ops.compressor_init(
+            config.compressor, comp_params, batch_shape
+        ),
+        "limiter": lim_ops.limiter_init(config.limiter, batch_shape),
+        "tp": tp_ops.tp_limiter_init(batch_shape),
+        "tp_detector": tp_ops.detector_init(batch_shape),
+    }
+
+
+def chain_block(config: ChainConfig, comp_params, state, x):
+    """Process one block ``x: [..., T]``. Returns ``(state, y, stats)``.
+
+    Stage order and stats mirror `block_processor.rs:111-170`; the final
+    true-peak limiter ceiling tracks the main limiter ceiling
+    (`block_processor.rs:152-155`).
+    """
+    stats = {"input_sample_peak": jnp.max(jnp.abs(x), axis=-1)}
+    y = x
+    new_state = dict(state)
+
+    def run_deesser(y):
+        ds, y, dm = des_ops.deesser_process(config.deesser, new_state["deesser"], y)
+        new_state["deesser"] = ds
+        stats["deesser_gain_reduction_db"] = dm["reduction_db"]
+        return y
+
+    def run_eq(y):
+        es, y = eq_ops.eq_process(new_state["eq"], y)
+        new_state["eq"] = es
+        return y
+
+    zeros = jnp.zeros(x.shape[:-1], jnp.float32)
+    stats["deesser_gain_reduction_db"] = zeros
+    if config.eq_before_deesser:
+        if config.eq_enabled:
+            y = run_eq(y)
+        if config.deesser_enabled:
+            y = run_deesser(y)
+    else:
+        if config.deesser_enabled:
+            y = run_deesser(y)
+        if config.eq_enabled:
+            y = run_eq(y)
+
+    if config.compressor_enabled:
+        cs, y, cm = comp_ops.compressor_process(
+            config.compressor, comp_params, new_state["compressor"], y
+        )
+        new_state["compressor"] = cs
+        stats["compressor_gain_reduction_db"] = cm["gain_reduction_db"]
+    else:
+        stats["compressor_gain_reduction_db"] = zeros
+
+    if config.limiter_enabled:
+        ls, y, lm = lim_ops.limiter_process(config.limiter, new_state["limiter"], y)
+        new_state["limiter"] = ls
+        stats["limiter_peak_gain_reduction_db"] = lm["peak_gr_db"]
+        tp_cfg = tp_ops.TruePeakLimiterConfig(
+            ceiling_db=config.limiter.ceiling_db,
+            release_ms=config.tp_release_ms,
+            sample_rate=config.sample_rate,
+        )
+        ts, y, tm = tp_ops.tp_limiter_process(
+            tp_cfg, new_state["tp"], y,
+            ceiling_linear=config.limiter.ceiling_linear,
+        )
+        new_state["tp"] = ts
+        stats["true_peak_limiter_input_peak"] = tm["input_true_peak"]
+        stats["true_peak_limiter_gain_reduction_db"] = tm["max_gain_reduction_db"]
+        stats["true_peak_limited_events"] = tm["limited_events"]
+    else:
+        stats["limiter_peak_gain_reduction_db"] = zeros
+        stats["true_peak_limiter_input_peak"] = zeros
+        stats["true_peak_limiter_gain_reduction_db"] = zeros
+        stats["true_peak_limited_events"] = jnp.zeros(x.shape[:-1], jnp.int32)
+
+    stats["output_sample_peak"] = jnp.max(jnp.abs(y), axis=-1)
+    td, otp = tp_ops.detector_process(new_state["tp_detector"], y)
+    new_state["tp_detector"] = td
+    stats["output_true_peak"] = otp
+    return new_state, y, stats
+
+
+@partial(jax.jit, static_argnames=("config", "return_audio"))
+def chain_run(config: ChainConfig, comp_params, state, blocks, return_audio=True):
+    """Run a whole take in one compiled call.
+
+    ``blocks``: ``[..., n_blocks, T]`` (pre-framed audio; zero-pad the tail).
+    Returns ``(final_state, output_blocks or None, stats_arrays)`` where each
+    stats entry has shape ``[..., n_blocks]``. ``vmap`` over leading axes of
+    ``comp_params``/``state``/``blocks`` turns a candidate sweep into one
+    batched call.
+    """
+    nb_axis = blocks.ndim - 2
+    bt = jnp.moveaxis(blocks, nb_axis, 0)  # (n_blocks, ..., T)
+
+    def body(carry, xb):
+        st = carry
+        st, y, stats = chain_block(config, comp_params, st, xb)
+        out = (y if return_audio else None, stats)
+        return st, out
+
+    final, (ys, stats) = jax.lax.scan(body, state, bt)
+    if return_audio:
+        ys = jnp.moveaxis(ys, 0, nb_axis)
+    stats = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, -1), stats)
+    return final, ys, stats

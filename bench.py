@@ -1,0 +1,108 @@
+"""Headline benchmark: full 48 kHz mono chain throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+
+The metric is audio-seconds processed per wall second on one chip for the
+full offline chain (de-esser + 10-band EQ + compressor + lookahead limiter +
+4x true-peak limiter) batched over independent streams — the BASELINE.json
+north star is >= 1000x realtime per chip. ``vs_baseline`` is value / 1000.
+
+Runs on whatever platform JAX selects (the real TPU chip under the driver);
+tests force CPU separately in their conftest.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from audioforge_tpu.ops import compressor as comp_ops
+    from audioforge_tpu.ops import deesser as des_ops
+    from audioforge_tpu.runtime import chain as chain_rt
+
+    BATCH = 128
+    BLOCK = 480
+    N_BLOCKS = 200  # 2 s per stream per call
+    FS = 48000.0
+
+    cfg = chain_rt.ChainConfig(
+        sample_rate=FS,
+        deesser_enabled=True,
+        eq_enabled=True,
+        compressor_enabled=True,
+        limiter_enabled=True,
+        deesser=des_ops.DeEsserConfig(sample_rate=FS, enabled=True),
+        compressor=comp_ops.CompressorConfig(
+            sample_rate=FS,
+            enabled=True,
+            adaptive_release=True,
+            auto_makeup_enabled=True,
+            sidechain_highpass_enabled=True,
+            block_samples=BLOCK,
+        ),
+    )
+    params = comp_ops.compressor_params(cfg.compressor, threshold_db=-24.0, ratio=3.0)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(N_BLOCKS * BLOCK) / FS
+    base = 0.25 * np.sin(2 * np.pi * 220 * t) * ((t % 0.6) < 0.35)
+    audio = (
+        base[None, :] + 0.01 * rng.standard_normal((BATCH, len(t)))
+    ).astype(np.float32)
+    blocks = jnp.asarray(audio.reshape(BATCH, N_BLOCKS, BLOCK))
+
+    state = chain_rt.chain_init(cfg, params, batch_shape=(BATCH,))
+
+    run = jax.jit(
+        lambda st, b: chain_rt.chain_run(cfg, params, st, b, return_audio=False),
+        static_argnames=(),
+    )
+
+    # warmup / compile
+    st, _, stats = run(state, blocks)
+    jax.block_until_ready(stats)
+
+    n_iters = 5
+    start = time.perf_counter()
+    st = state
+    for _ in range(n_iters):
+        st, _, stats = run(st, blocks)
+    jax.block_until_ready(stats)
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = n_iters * BATCH * N_BLOCKS * BLOCK / FS
+    throughput = audio_seconds / elapsed
+
+    # single-stream block latency (includes host dispatch)
+    one = chain_rt.chain_init(cfg, params)
+    xb = jnp.asarray(audio[0, :BLOCK])
+    block_fn = jax.jit(lambda s, x: chain_rt.chain_block(cfg, params, s, x))
+    s1, y, _ = block_fn(one, xb)
+    jax.block_until_ready(y)
+    lat = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        s1, y, _ = block_fn(s1, xb)
+        jax.block_until_ready(y)
+        lat.append(time.perf_counter() - t0)
+    p99_ms = float(np.percentile(np.array(lat) * 1000.0, 99))
+
+    result = {
+        "metric": "full-chain throughput (deesser+EQ+comp+limiter+true-peak, 48kHz mono)",
+        "value": round(throughput, 1),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(throughput / 1000.0, 3),
+        "batch": BATCH,
+        "p99_block_latency_ms": round(p99_ms, 3),
+        "platform": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
