@@ -447,6 +447,147 @@ def simulate_auto_eq_chain(audio, sample_rate, bands, settings=None):
     return diagnostics
 
 
+def simulate_auto_eq_chain_batched(audio, sample_rate, bands, settings, param_sets):
+    """Evaluate MANY compressor parameterisations of the same chain in ONE
+    vmapped device call.
+
+    The reference evaluates its 68-candidate compressor search serially
+    through the native simulator (`voice_setup.py:699-783`); here the
+    candidates become a batch axis. ``param_sets`` is a list of dicts with
+    keys {threshold_db, ratio, attack_ms, release_ms}; all other settings
+    are shared. Returns one diagnostics dict per candidate (same keys as
+    :func:`simulate_auto_eq_chain`, minus output audio).
+    """
+    from .ops import compressor as comp_ops
+
+    started = time.perf_counter()
+    _validate_sample_rate(sample_rate)
+    sample_rate = float(sample_rate)
+    if settings is not None and settings.get("eq_bands_v2") is not None:
+        eq_bands = _v2_bands(settings["eq_bands_v2"], sample_rate)
+    else:
+        eq_bands = _legacy_bands(bands, sample_rate)
+    cfg, base_params, effective_ceiling_db = _chain_config_from_settings(
+        sample_rate, settings
+    )
+
+    B = len(param_sets)
+    if B == 0:
+        return []
+
+    def stack(key, fn):
+        return jnp.asarray([fn(p) for p in param_sets], jnp.float32)
+
+    comp_params = dict(base_params)
+    fs = sample_rate
+    comp_params["threshold_db"] = stack("threshold_db", lambda p: float(p["threshold_db"]))
+    comp_params["ratio"] = stack("ratio", lambda p: max(float(p["ratio"]), 1.0))
+    comp_params["attack_coeff"] = jnp.asarray(
+        [
+            np.exp(-1000.0 / (max(float(p["attack_ms"]), 1e-6) * fs))
+            for p in param_sets
+        ],
+        jnp.float32,
+    )
+    comp_params["base_release_ms"] = stack("release_ms", lambda p: float(p["release_ms"]))
+    comp_params = {
+        k: (jnp.broadcast_to(v, (B,)) if np.ndim(v) == 0 else v)
+        for k, v in comp_params.items()
+    }
+
+    x = np.asarray(audio, np.float32)
+    x = np.where(np.isfinite(x), x, 0.0).astype(np.float32)
+    analysis_block = max(1, min(int(round(sample_rate * 0.020)), _RT_PROCESS_BUFFER_CAPACITY))
+    n = len(x)
+    blocks, nb = _frame_blocks(x, analysis_block)
+    valid = np.full(nb, analysis_block, np.int64)
+    if n % analysis_block and n > 0:
+        valid[-1] = n % analysis_block
+
+    state = chain_rt.chain_init(cfg, comp_params, eq_bands, batch_shape=(B,))
+    blocks_b = jnp.broadcast_to(jnp.asarray(blocks), (B, nb, analysis_block))
+    final, ys, stats = chain_rt.chain_run(
+        cfg, comp_params, state, blocks_b, return_audio=True
+    )
+    ys = np.asarray(ys)  # (B, nb, block)
+    stats = {k: np.asarray(v) for k, v in stats.items()}  # (B, nb)
+
+    in_sq = (blocks.astype(np.float64) ** 2).sum(axis=1)  # shared input
+    in_rows_db = 20.0 * np.log10(np.maximum(np.sqrt(in_sq / np.maximum(valid, 1)), 1e-10))
+    input_floor_db = percentile(in_rows_db, 0.20)
+    input_p90_db = percentile(in_rows_db, 0.90)
+    active_threshold_db = max(input_floor_db + 6.0, input_p90_db - 24.0, -60.0)
+    active_mask = in_rows_db >= active_threshold_db
+    valid_rows = in_rows_db > -100.0
+    runtime_ms = (time.perf_counter() - started) * 1000.0 / B
+
+    results = []
+    for b in range(B):
+        out_sq = (ys[b].astype(np.float64) ** 2).sum(axis=1)
+        out_rows_db = 20.0 * np.log10(
+            np.maximum(np.sqrt(out_sq / np.maximum(valid, 1)), 1e-10)
+        )
+        comp_rows = stats["compressor_gain_reduction_db"][b]
+        des_rows = stats["deesser_gain_reduction_db"][b]
+        output = ys[b].reshape(-1)[:n]
+        a_comp = np.maximum(comp_rows[active_mask], 0.0)
+        a_des = np.maximum(des_rows[active_mask], 0.0)
+        if a_comp.size < 3:
+            a_comp = np.maximum(comp_rows, 0.0)
+            a_des = np.maximum(des_rows, 0.0)
+        osp = float(stats["output_sample_peak"][b].max(initial=0.0))
+        pre_tp = float(stats["true_peak_limiter_input_peak"][b].max(initial=0.0))
+        otp = float(stats["output_true_peak"][b].max(initial=0.0))
+        osp_db, pre_db, otp_db = _linear_to_db(osp), _linear_to_db(pre_tp), _linear_to_db(otp)
+        results.append({
+            "input_sample_peak_db": _linear_to_db(stats["input_sample_peak"][b].max(initial=0.0)),
+            "input_rms_db": _linear_to_db(float(np.sqrt(in_sq.sum() / max(n, 1)))),
+            "output_sample_peak_db": osp_db,
+            "pre_limiter_true_peak_db": pre_db,
+            "output_true_peak_db": otp_db,
+            "output_rms_db": _linear_to_db(float(np.sqrt(out_sq.sum() / max(n, 1)))),
+            "limiter_effective_ceiling_db": float(effective_ceiling_db),
+            "sample_headroom_db": float(effective_ceiling_db - osp_db),
+            "pre_limiter_true_peak_headroom_db": float(effective_ceiling_db - pre_db),
+            "true_peak_headroom_db": float(effective_ceiling_db - otp_db),
+            "limiter_gain_reduction_db": float(
+                stats["limiter_peak_gain_reduction_db"][b].max(initial=0.0)
+            ),
+            "true_peak_limiter_gain_reduction_db": float(
+                stats["true_peak_limiter_gain_reduction_db"][b].max(initial=0.0)
+            ),
+            "true_peak_limited_events": int(stats["true_peak_limited_events"][b].sum()),
+            "compressor_gain_reduction_db": float(comp_rows.max(initial=0.0)),
+            "deesser_gain_reduction_db": float(des_rows.max(initial=0.0)),
+            "compressor_gain_reduction_median_db": percentile(a_comp, 0.50),
+            "compressor_gain_reduction_p95_db": percentile(a_comp, 0.95),
+            "compressor_gain_reduction_active_ratio": (
+                float(np.mean(a_comp >= 0.10)) if a_comp.size else 0.0
+            ),
+            "active_output_gain_db": percentile(
+                (out_rows_db - in_rows_db)[active_mask & valid_rows], 0.50
+            ),
+            "silence_output_gain_db": percentile(
+                -np.maximum(comp_rows[~active_mask], 0.0), 0.50
+            ),
+            "silence_level_delta_db": percentile(
+                (out_rows_db - in_rows_db)[(~active_mask) & valid_rows], 0.50
+            ),
+            "compressor_pumping_score_db": float(
+                compressor_pumping_score(np.maximum(comp_rows, 0.0), 50.0)
+            ),
+            "non_finite_output": bool(np.any(~np.isfinite(output))),
+            "candidate_runtime_ms": runtime_ms,
+            "deesser_gain_reduction_median_db": percentile(a_des, 0.50),
+            "deesser_gain_reduction_p95_db": percentile(a_des, 0.95),
+            "analysis_block_ms": 20.0,
+            "active_analysis_threshold_db": float(active_threshold_db),
+            "active_analysis_block_count": int(a_comp.size),
+            "processed_samples": int(n),
+        })
+    return results
+
+
 def simulate_auto_makeup_control(
     audio, sample_rate, vad_probabilities, noise_floor_db, noise_reliability,
     settings=None,

@@ -284,19 +284,23 @@ def unit_reset_state(state):
     }
 
 
-@jax.jit
-def unit_process(state, x):
+@partial(jax.jit, static_argnames=("compensated",))
+def unit_process(state, x, compensated=True):
     """Process a block ``x: [..., T]`` through the dual-lane unit.
 
     Returns ``(new_state, y)``. Pure/jittable; the crossfade continues
     sample-accurately across block boundaries exactly like
-    `biquad.rs:288-327`.
+    `biquad.rs:288-327`. ``compensated`` selects the double-word-f32 scan
+    (see :func:`apply`).
     """
     T = x.shape[-1]
     lanes_c = state["coeffs"]  # [..., 2, 5]
     lanes_z = state["z"]  # [..., 2, 2]
     xl = x[..., None, :]  # broadcast over lane axis
-    y_lanes, z_out = apply(lanes_c, lanes_z, jnp.broadcast_to(xl, lanes_z.shape[:-1] + (T,)))
+    y_lanes, z_out = apply(
+        lanes_c, lanes_z, jnp.broadcast_to(xl, lanes_z.shape[:-1] + (T,)),
+        compensated=compensated,
+    )
 
     total = state["fade_total"]
     remaining = state["fade_remaining"]

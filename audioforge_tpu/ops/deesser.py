@@ -160,13 +160,24 @@ def deesser_process(config: DeEsserConfig, state, x):
     base_rise = jnp.float32(_coeff(AUTO_BASELINE_RISE_MS, fs))
     base_decay = jnp.float32(_coeff(AUTO_BASELINE_INACTIVE_DECAY_MS, fs))
 
-    # ---- phase 1: constant-coefficient sidechain filters, fully parallel
+    # ---- phase 1: constant-coefficient sidechain filters, fully parallel.
+    # Bands filtered one at a time: batching the 3-band axis through the
+    # blocked scan produces (..., 3, chunks)-shaped intermediates that
+    # trigger an XLA:TPU fusion-transform CHECK failure (fusion_util.cc
+    # "TransformWindow: Loop will not make progress").
     det_c = jnp.asarray(_detector_coeffs(config), jnp.float32)  # (3,2,5)
-    xb = jnp.broadcast_to(x[..., None, :], lead + (BAND_COUNT, T))
-    hp_y, hp_z = biquad.apply(det_c[:, 0, :], state["det_z"][..., 0, :], xb)
-    lp_y, lp_z = biquad.apply(det_c[:, 1, :], state["det_z"][..., 1, :], hp_y)
-    det_z_out = jnp.stack([hp_z, lp_z], axis=-2)
-    side_abs = jnp.abs(lp_y)  # [..., 3, T]
+    side_list, hp_zs, lp_zs = [], [], []
+    for b in range(BAND_COUNT):
+        hp_y, hp_z = biquad.apply(det_c[b, 0, :], state["det_z"][..., b, 0, :], x)
+        lp_y, lp_z = biquad.apply(det_c[b, 1, :], state["det_z"][..., b, 1, :], hp_y)
+        side_list.append(jnp.abs(lp_y))
+        hp_zs.append(hp_z)
+        lp_zs.append(lp_z)
+    det_z_out = jnp.stack(
+        [jnp.stack([hp_zs[b], lp_zs[b]], axis=-2) for b in range(BAND_COUNT)],
+        axis=-3,
+    )
+    side_abs = jnp.stack(side_list, axis=-2)  # [..., 3, T]
     broad_abs = jnp.abs(x)  # [..., T]
 
     # ---- phase 2: one fused scan for every envelope/confidence/baseline/

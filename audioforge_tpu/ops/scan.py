@@ -56,16 +56,29 @@ __all__ = [
 _BLOCK = 128
 
 
-def blocked_associative_scan(combine, identity, elems, block=_BLOCK):
+def blocked_associative_scan(combine, identity, elems, block=None):
     """Inclusive associative scan over the last axis, blocked.
 
     ``combine(prev, next)`` maps two element pytrees to one; ``identity`` is
     the combine's identity element (a pytree of scalars, broadcastable);
     ``elems`` is a pytree of arrays sharing a trailing time axis.
+
+    ``block`` defaults to roughly ``sqrt(T)`` (power of two, 16..128): total
+    sequential depth is ``block + O(log(T/block))`` scan steps, and the
+    square root balances in-chunk iterations against cross-chunk combine
+    trace size.
     """
     leaves = jax.tree_util.tree_leaves(elems)
     T = leaves[0].shape[-1]
     lead = leaves[0].shape[:-1]
+    if block is None:
+        block = 16
+        while block * block < T and block < _BLOCK:
+            block *= 2
+    # Unrolling the in-chunk scan is an ~8x runtime win on TPU (scan
+    # iteration dispatch dominates at these tiny per-step shapes) but
+    # multiplies XLA:CPU compile time; pick per backend.
+    unroll = 8 if jax.default_backend() != "cpu" else 1
     if T <= block:
         # single chunk: plain sequential scan, combine compiled once
         ets = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, -1, 0), elems)
@@ -79,7 +92,7 @@ def blocked_associative_scan(combine, identity, elems, block=_BLOCK):
             out = combine(carry, e)
             return out, out
 
-        _, pref = jax.lax.scan(step, id_full, ets)
+        _, pref = jax.lax.scan(step, id_full, ets, unroll=unroll)
         return jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, -1), pref)
 
     B = -(-T // block)
@@ -107,7 +120,7 @@ def blocked_associative_scan(combine, identity, elems, block=_BLOCK):
         out = combine(carry, e)
         return out, out
 
-    summary, local = jax.lax.scan(step, id_full, ets)  # local: (block, ..., B)
+    summary, local = jax.lax.scan(step, id_full, ets, unroll=unroll)  # local: (block, ..., B)
 
     # exclusive prefix of chunk summaries along the B axis (B is small)
     def shift_identity(a, i):

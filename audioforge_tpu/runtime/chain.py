@@ -82,12 +82,29 @@ def _eq_batch_state(eq_state, batch_shape):
 
 def chain_init(config: ChainConfig, comp_params=None, eq_bands=None, batch_shape=()):
     """Fresh chain state. ``eq_bands``: list of EqBandConfig or None for the
-    flat default layout."""
+    flat default layout.
+
+    The offline chain never edits coefficients mid-take, so the EQ runs the
+    single-lane static cascade (:func:`..ops.eq.cascade_apply`) — half the
+    work of the crossfaded dual-lane path. ``eq.coeffs`` is traced state, so
+    a vmapped candidate sweep can vary band gains per candidate.
+    """
+    coeffs = jnp.asarray(
+        eq_ops.bands_to_sections(
+            eq_ops.default_bands() if eq_bands is None else eq_bands,
+            config.sample_rate,
+        ),
+        jnp.float32,
+    )
+    eq_state = {
+        "coeffs": coeffs,
+        "z": jnp.zeros((eq_ops.NUM_SECTIONS,) + batch_shape + (2,), jnp.float32),
+    }
     return {
         "deesser": des_ops.deesser_init(config.deesser, batch_shape),
-        "eq": _eq_batch_state(
-            eq_ops.eq_init(eq_bands, config.sample_rate), batch_shape
-        ),
+        "eq": _eq_batch_state({"coeffs": eq_state["coeffs"]}, batch_shape) | {
+            "z": eq_state["z"]
+        },
         "compressor": comp_ops.compressor_init(
             config.compressor, comp_params, batch_shape
         ),
@@ -115,8 +132,9 @@ def chain_block(config: ChainConfig, comp_params, state, x):
         return y
 
     def run_eq(y):
-        es, y = eq_ops.eq_process(new_state["eq"], y)
-        new_state["eq"] = es
+        es = new_state["eq"]
+        z_out, y = eq_ops.cascade_apply(es["coeffs"], es["z"], y)
+        new_state["eq"] = {"coeffs": es["coeffs"], "z": z_out}
         return y
 
     zeros = jnp.zeros(x.shape[:-1], jnp.float32)

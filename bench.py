@@ -8,8 +8,10 @@ full offline chain (de-esser + 10-band EQ + compressor + lookahead limiter +
 4x true-peak limiter) batched over independent streams — the BASELINE.json
 north star is >= 1000x realtime per chip. ``vs_baseline`` is value / 1000.
 
-Runs on whatever platform JAX selects (the real TPU chip under the driver);
-tests force CPU separately in their conftest.
+Methodology notes: the batch is shaped (8, 128) to fill VPU tiles, the
+timed computation reduces to a scalar inside jit, and the value is fetched
+to the host per iteration (on the tunnelled platform ``block_until_ready``
+alone does not reliably await completion).
 """
 
 import json
@@ -25,7 +27,8 @@ def main():
     from audioforge_tpu.ops import deesser as des_ops
     from audioforge_tpu.runtime import chain as chain_rt
 
-    BATCH = 128
+    SHAPE = (8, 128)  # one full VPU tile of streams
+    BATCH = int(np.prod(SHAPE))
     BLOCK = 480
     N_BLOCKS = 200  # 2 s per stream per call
     FS = 48000.0
@@ -52,27 +55,31 @@ def main():
     t = np.arange(N_BLOCKS * BLOCK) / FS
     base = 0.25 * np.sin(2 * np.pi * 220 * t) * ((t % 0.6) < 0.35)
     audio = (
-        base[None, :] + 0.01 * rng.standard_normal((BATCH, len(t)))
+        base[None, None, :]
+        + 0.01 * rng.standard_normal(SHAPE + (len(t),))
     ).astype(np.float32)
-    blocks = jnp.asarray(audio.reshape(BATCH, N_BLOCKS, BLOCK))
+    blocks = jnp.asarray(audio.reshape(SHAPE + (N_BLOCKS, BLOCK)))
 
-    state = chain_rt.chain_init(cfg, params, batch_shape=(BATCH,))
+    state = chain_rt.chain_init(cfg, params, batch_shape=SHAPE)
 
-    run = jax.jit(
-        lambda st, b: chain_rt.chain_run(cfg, params, st, b, return_audio=False),
-        static_argnames=(),
-    )
+    def whole(st, b):
+        st, _, stats = chain_rt.chain_run(cfg, params, st, b, return_audio=False)
+        return st, jnp.sum(stats["output_true_peak"])
 
-    # warmup / compile
-    st, _, stats = run(state, blocks)
-    jax.block_until_ready(stats)
+    run = jax.jit(whole)
+
+    # warmup / compile (the first few executions after compile are slow on
+    # the tunnelled platform)
+    st = state
+    for _ in range(3):
+        st, acc = run(st, blocks)
+    float(acc)
 
     n_iters = 5
     start = time.perf_counter()
-    st = state
     for _ in range(n_iters):
-        st, _, stats = run(st, blocks)
-    jax.block_until_ready(stats)
+        st, acc = run(st, blocks)
+    float(acc)
     elapsed = time.perf_counter() - start
 
     audio_seconds = n_iters * BATCH * N_BLOCKS * BLOCK / FS
@@ -80,15 +87,22 @@ def main():
 
     # single-stream block latency (includes host dispatch)
     one = chain_rt.chain_init(cfg, params)
-    xb = jnp.asarray(audio[0, :BLOCK])
-    block_fn = jax.jit(lambda s, x: chain_rt.chain_block(cfg, params, s, x))
-    s1, y, _ = block_fn(one, xb)
-    jax.block_until_ready(y)
+    xb = jnp.asarray(audio[0, 0, :BLOCK])
+
+    def one_block(s, x):
+        s, y, _ = chain_rt.chain_block(cfg, params, s, x)
+        return s, jnp.sum(y)
+
+    block_fn = jax.jit(one_block)
+    s1 = one
+    for _ in range(5):
+        s1, acc = block_fn(s1, xb)
+    float(acc)
     lat = []
     for _ in range(100):
         t0 = time.perf_counter()
-        s1, y, _ = block_fn(s1, xb)
-        jax.block_until_ready(y)
+        s1, acc = block_fn(s1, xb)
+        float(acc)
         lat.append(time.perf_counter() - t0)
     p99_ms = float(np.percentile(np.array(lat) * 1000.0, 99))
 

@@ -1,0 +1,275 @@
+"""Model-layer contracts: Silero VAD wrapper, RNNoise/DFN3 processors,
+suppressor engine, VAD auto-gate.
+
+Weight-independent behaviours mirrored from the reference: frame staging and
+latency accounting, state round-trips, calibration math, wet/dry alignment,
+failure semantics, noise-floor tracking.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audioforge_tpu.models import dfn3, rnnoise, silero, suppressor, vad_gate
+
+
+# --------------------------- Silero VAD ---------------------------
+
+
+def test_calibration_exact():
+    """Platt constants from the v6.2.1 report (`vad.rs:53-55,468-477`)."""
+    p = 0.7
+    logit = np.log(p / (1 - p))
+    want = 1 / (1 + np.exp(-(0.6922877 * logit + 0.08612386)))
+    got = float(silero.calibrate_probability(0.7))
+    assert abs(got - want) < 1e-6
+    assert float(silero.calibrate_probability(np.nan)) == 0.0
+    assert 0.0 <= float(silero.calibrate_probability(0.0)) <= 1.0
+    assert 0.0 <= float(silero.calibrate_probability(1.0)) <= 1.0
+
+
+def test_silero_infer_state_roundtrip():
+    params = silero.init_params()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 576)), jnp.float32)
+    state = jnp.zeros((2, 3, 128), jnp.float32)
+    p1, s1 = silero.silero_infer(params, x, state)
+    assert p1.shape == (3,)
+    assert s1.shape == (2, 3, 128)
+    assert np.all(np.isfinite(np.asarray(p1)))
+    assert np.all((np.asarray(p1) >= 0) & (np.asarray(p1) <= 1))
+    # state must influence the next step (recurrent, not stateless)
+    p2a, _ = silero.silero_infer(params, x, s1)
+    p2b, _ = silero.silero_infer(params, x, state)
+    assert not np.allclose(np.asarray(p2a), np.asarray(p2b))
+
+
+def test_silero_stream_window_cadence():
+    """One inference per 1536-sample (48 kHz) window (`vad.rs:251-296`)."""
+    st = silero.vad_stream_init(48000)
+    rng = np.random.default_rng(1)
+    st, p0 = silero.vad_stream_process(st, rng.standard_normal(480).astype(np.float32))
+    assert not st["has_inference"]  # not enough samples yet
+    st, _ = silero.vad_stream_process(st, rng.standard_normal(480).astype(np.float32))
+    st, p = silero.vad_stream_process(st, rng.standard_normal(600).astype(np.float32))
+    assert st["has_inference"]
+    assert 0.0 <= p <= 1.0
+
+
+def test_analyze_vad_probabilities_window_count():
+    x = np.random.default_rng(2).standard_normal(48000).astype(np.float32) * 0.1
+    probs = silero.analyze_vad_probabilities(x, 48000)
+    # one posterior per 1536-sample window, final partial zero-padded
+    assert len(probs) == -(-48000 // 1536)
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    assert silero.analyze_vad_probabilities(np.zeros(0), 48000) == []
+    with pytest.raises(ValueError):
+        silero.analyze_vad_probabilities(x, 44100)
+
+
+# --------------------------- RNNoise ---------------------------
+
+
+def test_rnnoise_frame_shapes_and_state():
+    params = rnnoise.init_params()
+    state = rnnoise.rnnoise_state_init((2,))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 480)) * 1000.0, jnp.float32
+    )
+    s1, y, aux = rnnoise.rnnoise_frame(params, state, x)
+    assert y.shape == (2, 480)
+    assert aux["gains"].shape == (2, 22)
+    assert aux["vad"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_rnnoise_overlap_add_latency():
+    """The first output frame is the previous (zero) frame's tail: one frame
+    latency (`rnnoise.rs:313-315`). A unity-gain model reconstructs the
+    input delayed by 480 samples — here gains vary, so check energy flows
+    and staging length accounting instead."""
+    proc = rnnoise.processor_init(strength=1.0)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(2400) * 0.1).astype(np.float32)
+    proc, _ = rnnoise.processor_push(proc, x)
+    proc, n = rnnoise.processor_process(proc)
+    assert n == 5
+    proc, out = rnnoise.processor_pop(proc, 2400)
+    assert len(out) == 2400
+    assert np.all(np.isfinite(out))
+
+
+def test_rnnoise_strength_zero_is_delayed_dry():
+    proc = rnnoise.processor_init(strength=0.0)
+    proc["smoothed_strength"] = 0.0  # settle the EMA
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal(1440) * 0.1).astype(np.float32)
+    proc, _ = rnnoise.processor_push(proc, x)
+    proc, _ = rnnoise.processor_process(proc)
+    proc, out = rnnoise.processor_pop(proc, 1440)
+    # dry path is delayed one frame
+    np.testing.assert_allclose(out[480:], x[:960], atol=1e-6)
+    np.testing.assert_allclose(out[:480], 0.0, atol=1e-6)
+
+
+def test_rnnoise_soft_reset_preserves_model_state():
+    proc = rnnoise.processor_init()
+    rng = np.random.default_rng(5)
+    proc, _ = rnnoise.processor_push(proc, rng.standard_normal(960).astype(np.float32))
+    proc, _ = rnnoise.processor_process(proc)
+    gru_before = np.asarray(proc["model"]["vad_gru"])
+    proc = rnnoise.processor_soft_reset(proc)
+    assert len(proc["in_buf"]) == 0 and len(proc["out_buf"]) == 0
+    np.testing.assert_array_equal(np.asarray(proc["model"]["vad_gru"]), gru_before)
+
+
+def test_rnnoise_soft_clip():
+    x = jnp.asarray([0.5, 0.99, 2.0, -3.0, np.nan, np.inf], jnp.float32)
+    y = np.asarray(rnnoise._soft_clip(x))
+    assert y[0] == pytest.approx(0.5)
+    assert 0.98 < y[1] <= 32760 / 32768
+    assert y[2] <= 32760 / 32768
+    assert y[3] >= -32760 / 32768
+    assert y[4] == 0.0 and y[5] == 0.0
+
+
+# --------------------------- DFN3 ---------------------------
+
+
+def test_dfn_runtime_config_validation():
+    dfn3.validate_runtime_config(30.0, 0.0)
+    dfn3.validate_runtime_config(0.01, 0.05)
+    with pytest.raises(ValueError):
+        dfn3.validate_runtime_config(0.0, 0.0)
+    with pytest.raises(ValueError):
+        dfn3.validate_runtime_config(101.0, 0.0)
+    with pytest.raises(ValueError):
+        dfn3.validate_runtime_config(30.0, 0.06)
+    with pytest.raises(ValueError):
+        dfn3.validate_runtime_config(np.nan, 0.0)
+
+
+def test_dfn_latency_labels():
+    assert dfn3.latency_samples(True) == 480
+    assert dfn3.latency_samples(False) == 1440
+
+
+def test_dfn_processor_failure_passthrough():
+    """Non-finite model output => permanent latency-preserving passthrough
+    (`deepfilter_ffi.rs:841-864`)."""
+    proc = dfn3.processor_init(low_latency=True)
+    # poison the weights to force a non-finite output
+    proc["params"] = {k: v * np.nan for k, v in proc["params"].items()}
+    x = np.random.default_rng(6).standard_normal(960).astype(np.float32) * 0.1
+    proc, _ = dfn3.processor_push(proc, x)
+    proc, _ = dfn3.processor_process(proc)
+    assert proc["backend_failed"]
+    proc, out = dfn3.processor_pop(proc, 960)
+    # passthrough preserves the 480-sample latency alignment
+    np.testing.assert_allclose(out[480:], x[:480], atol=1e-6)
+    # and stays failed for subsequent blocks
+    proc, _ = dfn3.processor_push(proc, x)
+    proc, _ = dfn3.processor_process(proc)
+    assert proc["backend_failed"]
+
+
+def test_dfn_frames_batched():
+    params = dfn3.init_params()
+    state = dfn3.dfn_state_init((4,))
+    frames = jnp.asarray(
+        np.random.default_rng(7).standard_normal((4, 6, 480)) * 0.1, jnp.float32
+    )
+    s1, ys = dfn3.dfn_frames(params, state, frames)
+    assert ys.shape == (4, 6, 480)
+    assert np.all(np.isfinite(np.asarray(ys)))
+
+
+# --------------------------- suppressor engine ---------------------------
+
+
+def test_engine_model_registry():
+    assert suppressor.model_latency_ms("rnnoise") == 10.0
+    assert suppressor.model_latency_ms("deepfilter-ll") == 10.0
+    assert suppressor.model_latency_ms("deepfilter") == 30.0
+    with pytest.raises(ValueError):
+        suppressor.model_latency_ms("spectral-gate")
+
+
+def test_engine_deepfilter_env_gate(monkeypatch):
+    monkeypatch.delenv("AUDIOFORGE_ENABLE_DEEPFILTER", raising=False)
+    eng = suppressor.engine_init("deepfilter-ll")
+    d = suppressor.engine_diagnostics(eng)
+    assert not d["backend_available"]
+    # passthrough at the model latency
+    x = np.arange(960, dtype=np.float32)
+    eng, _ = suppressor.engine_push(eng, x)
+    eng, out = suppressor.engine_pop(eng, 960)
+    np.testing.assert_allclose(out[480:], x[:480 if len(out) == 960 else 0], atol=1e-6)
+
+    monkeypatch.setenv("AUDIOFORGE_ENABLE_DEEPFILTER", "1")
+    eng2 = suppressor.engine_init("deepfilter-ll")
+    assert suppressor.engine_diagnostics(eng2)["backend_available"]
+
+
+def test_engine_rnnoise_roundtrip():
+    eng = suppressor.engine_init("rnnoise", strength=1.0)
+    x = np.random.default_rng(8).standard_normal(1440).astype(np.float32) * 0.1
+    eng, n = suppressor.engine_push(eng, x)
+    assert n == 1440
+    eng, nf = suppressor.engine_process(eng)
+    assert nf == 3
+    eng, out = suppressor.engine_pop(eng, 1440)
+    assert len(out) == 1440
+    d = suppressor.engine_diagnostics(eng)
+    assert d["model"] == "rnnoise" and not d["backend_failed"]
+
+
+# --------------------------- VAD auto-gate ---------------------------
+
+
+def _run_gate_blocks(cfg, st, rms_db_seq, prob_seq):
+    outs = []
+    for rms, p in zip(rms_db_seq, prob_seq):
+        st, out = vad_gate.vad_gate_process(
+            cfg, st, jnp.float32(rms), jnp.float32(p), True, 480
+        )
+        outs.append({k: np.asarray(v) for k, v in out.items()})
+    return st, outs
+
+
+def test_vad_gate_noise_floor_tracking():
+    cfg = vad_gate.VadGateConfig(gate_mode=vad_gate.VAD_ASSISTED)
+    st = vad_gate.vad_gate_init(cfg)
+    # feed 300 low-posterior blocks at -55 dB: floor should approach -55
+    st, outs = _run_gate_blocks(cfg, st, [-55.0] * 300, [0.05] * 300)
+    floor = float(outs[-1]["noise_floor_db"])
+    assert -58.0 < floor < -52.0, floor
+    assert float(outs[-1]["reliability"]) > 0.5
+    # threshold = floor + margin (10)
+    assert abs(float(outs[-1]["threshold_db"]) - (floor + 10.0)) < 1e-4
+
+
+def test_vad_gate_hold_and_debounce():
+    cfg = vad_gate.VadGateConfig(gate_mode=vad_gate.VAD_ONLY, hold_time_ms=200.0)
+    st = vad_gate.vad_gate_init(cfg)
+    # speech opens the gate
+    st, outs = _run_gate_blocks(cfg, st, [-30.0] * 5, [0.9] * 5)
+    assert bool(outs[-1]["gate_open"])
+    # drop the posterior: hold keeps it open for ~200ms (20 blocks of 10ms)
+    st, outs = _run_gate_blocks(cfg, st, [-30.0] * 19, [0.1] * 19)
+    assert bool(outs[0]["gate_open"])
+    assert bool(outs[17]["gate_open"])
+    st, outs = _run_gate_blocks(cfg, st, [-30.0] * 3, [0.1] * 3)
+    assert not bool(outs[-1]["gate_open"])
+
+
+def test_vad_gate_speech_not_in_floor():
+    """High-posterior blocks must not pull the floor up
+    (`vad.rs:734-760` eligibility gate)."""
+    cfg = vad_gate.VadGateConfig()
+    st = vad_gate.vad_gate_init(cfg)
+    st, outs = _run_gate_blocks(cfg, st, [-60.0] * 260, [0.05] * 260)
+    floor_before = float(outs[-1]["noise_floor_db"])
+    st, outs = _run_gate_blocks(cfg, st, [-20.0] * 100, [0.95] * 100)
+    floor_after = float(outs[-1]["noise_floor_db"])
+    assert abs(floor_after - floor_before) < 0.5
