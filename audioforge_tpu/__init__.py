@@ -8,6 +8,11 @@ limiting) plus offline calibration pipelines (Auto-EQ, Auto Voice Setup,
 latency calibration), re-designed TPU-first: every stage is a pure functional
 ``(state, block) -> (state, block)`` transform built from parallel scans,
 batched over streams and calibration candidates with ``vmap``/``pjit``.
+
+The public surface mirrors the reference package root
+(`python/mic_eq/__init__.py:176-210`) so code written against it runs
+unchanged. There is no optional native extension to fail to import — the
+compute core is JAX — so ``CORE_AVAILABLE`` is always True.
 """
 
 __version__ = "0.1.0"
@@ -15,22 +20,46 @@ __version__ = "0.1.0"
 CORE_AVAILABLE = True
 
 from .api import (  # noqa: E402,F401
+    compressor_pumping_score,
     eq_magnitude_response,
     eq_magnitude_response_v2,
-    simulate_eq_v2,
     measure_integrated_loudness,
     simulate_auto_eq_chain,
     simulate_auto_makeup_control,
-    compressor_pumping_score,
+    simulate_eq_v2,
+    simulate_gate_suppressor_order,
+)
+from .ops.resample import (  # noqa: E402,F401
+    product_resampler_configuration,
+    simulate_product_resampler,
+)
+from .models.silero import analyze_vad_probabilities  # noqa: E402,F401
+from .models.dfn3 import configure_deepfilter_runtime_paths  # noqa: E402,F401
+from .config import (  # noqa: E402,F401
+    BUILTIN_PRESETS,
+    Preset,
+    list_presets,
+    load_preset,
+    save_preset,
 )
 
 __all__ = [
     "CORE_AVAILABLE",
+    "BUILTIN_PRESETS",
+    "Preset",
+    "analyze_vad_probabilities",
+    "compressor_pumping_score",
+    "configure_deepfilter_runtime_paths",
     "eq_magnitude_response",
     "eq_magnitude_response_v2",
-    "simulate_eq_v2",
+    "list_presets",
+    "load_preset",
     "measure_integrated_loudness",
+    "product_resampler_configuration",
+    "save_preset",
     "simulate_auto_eq_chain",
     "simulate_auto_makeup_control",
-    "compressor_pumping_score",
+    "simulate_eq_v2",
+    "simulate_gate_suppressor_order",
+    "simulate_product_resampler",
 ]

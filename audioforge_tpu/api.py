@@ -26,6 +26,7 @@ __all__ = [
     "measure_integrated_loudness",
     "simulate_auto_eq_chain",
     "simulate_auto_makeup_control",
+    "simulate_gate_suppressor_order",
     "compressor_pumping_score",
     "percentile",
 ]
@@ -714,3 +715,147 @@ def simulate_auto_makeup_control(
     if return_output_audio:
         diagnostics["output_audio"] = output.tolist()
     return diagnostics
+
+
+# --------------------------------------------------------------------------
+# Gate / suppressor ordering study (`processor/python_api.rs:316-404`)
+# --------------------------------------------------------------------------
+
+_GATE_ORDER_FRAME = 480  # RNNoise cadence at 48 kHz
+
+
+def _gate_pass_over_blocks(gate_cfg, vad_cfg, vad_threshold, blocks, probs):
+    """Run the VAD-assisted gate over ``blocks: [N, 480]`` with one external
+    posterior per block. Single jitted scan; the per-sample gate scan nests
+    inside."""
+    from .models import vad_gate as vadm
+    from .ops import gate as gate_ops
+
+    gate_state = gate_ops.gate_init()
+    vad_state = vadm.vad_gate_init(vad_cfg)
+
+    def step(carry, inp):
+        gs, vs = carry
+        block, prob = inp
+        rms_db = vadm.compute_rms_db(block)
+        vs, vout = vadm.vad_gate_process(
+            vad_cfg, vs, rms_db, prob, True, _GATE_ORDER_FRAME
+        )
+        gs, y, _ = gate_ops.gate_process(
+            gate_cfg, gs, block, prob, True, vout["gate_open"],
+            jnp.float32(vad_threshold),
+        )
+        return (gs, vs), (
+            y,
+            gs["current_gain"],
+            vout["noise_floor_db"],
+            vout["reliability"],
+        )
+
+    (gate_final, _), (out, gains, floors, rels) = jax.lax.scan(
+        step, (gate_state, vad_state), (blocks, probs)
+    )
+    return out, gains, floors, rels, gate_final["chatter_event_count"]
+
+
+def _suppressor_pass(audio, strength):
+    """RNNoise over the full signal in one batched model call, with the
+    engine's soft-clip PCM scaling and 15 ms strength smoothing
+    (`suppression.rs` push/process/pop contract)."""
+    from .models import rnnoise as rn
+
+    state = rn.processor_init(strength=float(strength))
+    state, _ = rn.processor_push(state, audio)
+    state, _ = rn.processor_process(state)
+    state, out = rn.processor_pop(state, len(audio))
+    if len(out) < len(audio):
+        out = np.concatenate([out, np.zeros(len(audio) - len(out), np.float32)])
+    return out
+
+
+def simulate_gate_suppressor_order(
+    audio,
+    vad_probabilities,
+    suppressor_before_gate,
+    suppressor_strength,
+    settings=None,
+):
+    """Compare smart-gate/suppressor ordering on a recorded take
+    (`processor/python_api.rs:316-404`).
+
+    The gate never reads the suppressor's internal state (only its audio),
+    so instead of the reference's interleaved per-frame loop each stage runs
+    once over the whole take — the gate as one jitted block scan, RNNoise as
+    one batched model call — in the requested order.
+    """
+    from .models import vad_gate as vadm
+    from .ops import gate as gate_ops
+
+    strength = float(suppressor_strength)
+    if not np.isfinite(strength) or not 0.0 <= strength <= 1.0:
+        raise ValueError("suppressor_strength must be finite and between 0 and 1")
+    audio = np.ascontiguousarray(np.asarray(audio, np.float32)).ravel()
+    n = len(audio)
+    block_count = -(-n // _GATE_ORDER_FRAME)
+    probs = np.asarray(vad_probabilities, np.float32).ravel()
+    if len(probs) != block_count or not np.all(
+        np.isfinite(probs) & (probs >= 0.0) & (probs <= 1.0)
+    ):
+        raise ValueError(
+            f"expected {block_count} finite VAD probabilities at the "
+            "10 ms RNNoise cadence"
+        )
+
+    threshold_db = float(_settings_get(settings, "gate_threshold_db", -40.0))
+    attack_ms = float(_settings_get(settings, "gate_attack_ms", 10.0))
+    release_ms = float(_settings_get(settings, "gate_release_ms", 100.0))
+    vad_threshold = float(_settings_get(settings, "gate_vad_threshold", 0.48))
+
+    gate_cfg = gate_ops.GateConfig(
+        threshold_db=threshold_db,
+        attack_ms=attack_ms,
+        release_ms=release_ms,
+        sample_rate=48000.0,
+        mode=gate_ops.VAD_ASSISTED,
+    )
+    vad_cfg = vadm.VadGateConfig(
+        gate_mode=vadm.VAD_ASSISTED,
+        vad_threshold=vad_threshold,
+        manual_threshold_db=threshold_db,
+    )
+
+    started = time.perf_counter()
+    padded = np.zeros(block_count * _GATE_ORDER_FRAME, np.float32)
+    padded[:n] = audio
+
+    def gate_pass(x):
+        blocks = jnp.asarray(x.reshape(block_count, _GATE_ORDER_FRAME))
+        out, gains, floors, rels, chatter = _gate_pass_over_blocks(
+            gate_cfg, vad_cfg, vad_threshold, blocks, jnp.asarray(probs)
+        )
+        return (
+            np.asarray(out).ravel(),
+            np.asarray(gains),
+            float(floors[-1]),
+            float(rels[-1]),
+            int(chatter),
+        )
+
+    if suppressor_before_gate:
+        denoised = _suppressor_pass(padded, strength)
+        out, gate_gain, floor_db, reliability, chatter = gate_pass(denoised)
+    else:
+        gated, gate_gain, floor_db, reliability, chatter = gate_pass(padded)
+        out = _suppressor_pass(gated, strength)
+
+    from .models import rnnoise as rn
+
+    return {
+        "output_audio": np.asarray(out[:n], np.float32).tolist(),
+        "gate_gain": np.asarray(gate_gain, np.float32).tolist(),
+        "gate_chatter_event_count": chatter,
+        "gate_noise_floor_db": floor_db,
+        "gate_noise_floor_reliability": reliability,
+        "suppressor_latency_samples": rn.LATENCY_SAMPLES,
+        "runtime_ms": (time.perf_counter() - started) * 1000.0,
+    }

@@ -40,6 +40,8 @@ __all__ = [
     "DEFAULT_ATTEN_LIM_DB",
     "DEFAULT_POST_FILTER_BETA",
     "validate_runtime_config",
+    "configure_deepfilter_runtime_paths",
+    "configured_deepfilter_runtime_paths",
     "init_params",
     "load_weights",
     "dfn_state_init",
@@ -335,3 +337,38 @@ def processor_soft_reset(state):
         latency_samples(state["low_latency"]), np.float32
     )
     return state
+
+
+# App-owned asset paths (`dsp/deepfilter_ffi.rs:119-160`): intentionally
+# separate from ambient DEEPFILTER_* env overrides, which stay ignored unless
+# AUDIOFORGE_ALLOW_EXTERNAL_DF=1.
+_APP_OWNED_PATHS: dict[str, "Path | None"] = {"library": None, "model": None}
+
+
+def _canonical_app_owned_path(path, kind: str):
+    from pathlib import Path
+
+    if path is None:
+        return None
+    try:
+        canonical = Path(path).resolve(strict=True)
+    except OSError as exc:
+        raise ValueError(
+            f"Invalid app-owned DeepFilter {kind} path: {exc}"
+        ) from exc
+    return canonical
+
+
+def configure_deepfilter_runtime_paths(library_path=None, model_path=None):
+    """Register bundled DeepFilter assets (`lib.rs:352-361`,
+    `deepfilter_ffi.rs:135-153`). Both paths must exist; either may be None
+    to clear it."""
+    configured = {
+        "library": _canonical_app_owned_path(library_path, "library"),
+        "model": _canonical_app_owned_path(model_path, "model"),
+    }
+    _APP_OWNED_PATHS.update(configured)
+
+
+def configured_deepfilter_runtime_paths() -> dict:
+    return dict(_APP_OWNED_PATHS)
