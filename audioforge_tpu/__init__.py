@@ -35,6 +35,14 @@ from .ops.resample import (  # noqa: E402,F401
 )
 from .models.silero import analyze_vad_probabilities  # noqa: E402,F401
 from .models.dfn3 import configure_deepfilter_runtime_paths  # noqa: E402,F401
+from .runtime.processor import (  # noqa: E402,F401
+    AudioProcessor,
+    DeviceInfo,
+    list_input_devices,
+    list_output_devices,
+    register_virtual_input,
+    register_virtual_output,
+)
 from .config import (  # noqa: E402,F401
     BUILTIN_PRESETS,
     Preset,
@@ -45,9 +53,15 @@ from .config import (  # noqa: E402,F401
 
 __all__ = [
     "CORE_AVAILABLE",
+    "AudioProcessor",
     "BUILTIN_PRESETS",
+    "DeviceInfo",
     "Preset",
     "analyze_vad_probabilities",
+    "list_input_devices",
+    "list_output_devices",
+    "register_virtual_input",
+    "register_virtual_output",
     "compressor_pumping_score",
     "configure_deepfilter_runtime_paths",
     "eq_magnitude_response",

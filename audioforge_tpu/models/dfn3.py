@@ -219,6 +219,7 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
     return new_state, out, {"erb_gains": erb_gains}
 
 
+@jax.jit
 def dfn_frames(params, state, frames, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
                post_filter_beta=DEFAULT_POST_FILTER_BETA):
     """Enhance ``frames: [..., n, 480]`` in one compiled scan."""

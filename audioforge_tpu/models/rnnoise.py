@@ -251,6 +251,7 @@ def rnnoise_frame(params, state, x_frame):
     return new_state, out, {"gains": gains, "vad": vad}
 
 
+@jax.jit
 def rnnoise_frames(params, state, frames):
     """Denoise ``frames: [..., n_frames, 480]`` in one compiled scan."""
     ft = jnp.moveaxis(frames, -2, 0)

@@ -72,7 +72,7 @@ class DeEsserConfig:
     high_cut_hz: float = DEFAULT_HIGH_CUT_HZ
 
     def band_bounds(self):
-        """Equal三-way split of the detector span (`deesser.rs:229-245`)."""
+        """Equal three-way split of the detector span (`deesser.rs:229-245`)."""
         low = min(max(self.low_cut_hz, 2000.0), 12000.0)
         high = self.high_cut_hz
         if high <= low + 200.0:

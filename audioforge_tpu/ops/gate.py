@@ -37,6 +37,7 @@ import numpy as np
 from . import util
 
 __all__ = [
+    "gate_params",
     "THRESHOLD_ONLY",
     "VAD_ASSISTED",
     "VAD_ONLY",
@@ -157,6 +158,24 @@ def _level_open_score(level_db, threshold_db):
 
 
 @partial(jax.jit, static_argnames=("config",))
+def gate_params(config: GateConfig, threshold_db=None, attack_ms=None,
+                release_ms=None):
+    """Traced numeric parameters so live control edits never recompile."""
+    threshold_db = config.threshold_db if threshold_db is None else threshold_db
+    attack_ms = config.attack_ms if attack_ms is None else attack_ms
+    release_ms = config.release_ms if release_ms is None else release_ms
+    fs = config.sample_rate
+    return {
+        "threshold_db": jnp.float32(threshold_db),
+        "attack_coeff": jnp.float32(
+            util.time_constant_to_coeff(attack_ms / 1000.0, fs)
+        ),
+        "release_coeff": jnp.float32(
+            util.time_constant_to_coeff(release_ms / 1000.0, fs)
+        ),
+    }
+
+
 def gate_process(
     config: GateConfig,
     state,
@@ -165,6 +184,7 @@ def gate_process(
     vad_available=None,
     vad_gate_open=None,
     vad_threshold=None,
+    params=None,
 ):
     """Gate a block ``x: [..., T]``. Returns ``(new_state, y, metrics)``.
 
@@ -184,10 +204,15 @@ def gate_process(
     T = x.shape[-1]
     lead = x.shape[:-1]
     mode = config.mode
-    thr = jnp.float32(config.threshold_db)
+    if params is None:
+        thr = jnp.float32(config.threshold_db)
+        atk_c = jnp.float32(config.attack_coeff)
+        rel_c = jnp.float32(config.release_coeff)
+    else:
+        thr = params["threshold_db"]
+        atk_c = params["attack_coeff"]
+        rel_c = params["release_coeff"]
     rms_c = jnp.float32(config.rms_coeff)
-    atk_c = jnp.float32(config.attack_coeff)
-    rel_c = jnp.float32(config.release_coeff)
     sm_c = jnp.float32(config.vad_smooth_coeff)
 
     vad_in_use = mode != THRESHOLD_ONLY and vad_probability is not None

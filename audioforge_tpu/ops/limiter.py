@@ -30,7 +30,13 @@ import numpy as np
 from . import util
 from .scan import max_affine_scan, sliding_window_max
 
-__all__ = ["LimiterConfig", "limiter_init", "limiter_process", "limiter_reset"]
+__all__ = [
+    "LimiterConfig",
+    "limiter_init",
+    "limiter_params",
+    "limiter_process",
+    "limiter_reset",
+]
 
 MAX_LOOKAHEAD_SAMPLES = 1024
 
@@ -83,19 +89,37 @@ def limiter_reset(state):
     }
 
 
-def limiter_process(config: LimiterConfig, state, x):
+def limiter_params(config: LimiterConfig, ceiling_db=None, release_ms=None):
+    """Traced numeric parameters; live control edits never recompile
+    (control = replace-params-pytree at block boundaries)."""
+    ceiling_db = config.ceiling_db if ceiling_db is None else ceiling_db
+    release_ms = config.release_ms if release_ms is None else release_ms
+    return {
+        "ceiling_linear": jnp.float32(util.db_to_linear(ceiling_db)),
+        "release_coeff": jnp.float32(
+            util.time_constant_to_coeff(release_ms / 1000.0, config.sample_rate)
+        ),
+    }
+
+
+def limiter_process(config: LimiterConfig, state, x, params=None):
     """Limit a block ``x: [..., T]``. Returns ``(new_state, y, metrics)``.
 
     ``metrics = {"peak_gr_db": block max gain reduction in dB}``; the
     running ``peak_gr_db`` in the state accumulates until the caller resets
-    it (mirrors `limiter.rs:200-205`).
+    it (mirrors `limiter.rs:200-205`). ``params`` (from
+    :func:`limiter_params`) overrides ceiling/release as traced values.
     """
     if not config.enabled:
         return state, x, {"peak_gr_db": jnp.zeros_like(state["gain"])}
 
     W = config.lookahead_samples
-    ceiling = jnp.float32(config.ceiling_linear)
-    rc = jnp.float32(config.release_coeff)
+    if params is None:
+        ceiling = jnp.float32(config.ceiling_linear)
+        rc = jnp.float32(config.release_coeff)
+    else:
+        ceiling = params["ceiling_linear"]
+        rc = params["release_coeff"]
 
     hist = state["history"]
     ext = jnp.concatenate([hist, x], axis=-1)

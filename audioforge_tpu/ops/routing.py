@@ -567,7 +567,10 @@ def routing_process(config: RoutingConfig, state, x):
     hum_detected = new_state["hum_hold"] > 0
     rumble_detected = new_state["rumble_hold"] > 0
     raised_hz = 100.0 if mode == CLEANUP_GENTLE else 120.0
-    selected_hp = jnp.where(rumble_detected, raised_hz, PREFILTER_HZ)
+    # strong f32 so the state leaf signature is stable across jit calls
+    selected_hp = jnp.where(
+        rumble_detected, jnp.float32(raised_hz), jnp.float32(PREFILTER_HZ)
+    )
 
     retune_hp = jnp.abs(selected_hp - state["adaptive_hp_hz"]) > 0.5
     hp_lo = jnp.asarray(
