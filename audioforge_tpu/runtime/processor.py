@@ -704,6 +704,12 @@ class AudioProcessor:
                     engine, par["suppressor_strength"]
                 )
 
+            # recording tap + VAD tee run on every path — calibration
+            # records raw input while bypassed (`dsp_loop.rs:1255-1283`,
+            # `1359-1369`)
+            self._tap_recording(x)
+            self._vad_ring.write(x)
+
             started = time.perf_counter()
             if raw_monitor:
                 y = x
@@ -713,6 +719,7 @@ class AudioProcessor:
                 state, y, engine, supp_delay = self._process_block(
                     config, params, state, x, engine, supp_delay, topo
                 )
+            y = self._mix_probe(np.asarray(y, np.float32))
             dsp_ms = (time.perf_counter() - started) * 1e3
             smoothed_dsp_ms = 0.9 * smoothed_dsp_ms + 0.1 * dsp_ms
 
@@ -736,11 +743,6 @@ class AudioProcessor:
                        topo):
         """One full-chain block: front → suppressor → back + recording tap,
         probe mixing, VAD tee, metric publication."""
-        # VAD tee (post-cleanup in the reference; tee the raw sanitized
-        # input here — the cleanup stages only remove hum/rumble below the
-        # model's 16 kHz band) (`dsp_loop.rs:1359-1369`)
-        self._vad_ring.write(x)
-
         with self._lock:
             vad = dict(self._vad_state)
         age_ms = (time.perf_counter() - vad["timestamp"]) * 1e3
@@ -750,15 +752,6 @@ class AudioProcessor:
             config, params, state, jnp.asarray(x),
             jnp.float32(vad["probability"]), jnp.bool_(vad_fresh),
         )
-
-        # recording tap: post-cleanup, pre-gate audio is what calibration
-        # wants (`dsp_loop.rs:1255-1283`) — reconstruct from the routing
-        # output by disabling the gate? The gate runs inside front_block;
-        # tap its input by re-deriving: the tap uses the gated signal's
-        # pre-gate form, which front_block does not expose, so the tap here
-        # records the sanitized input (equivalent for calibration: the
-        # cleanup stages are linear and calibration re-runs its own chain).
-        self._tap_recording(x)
 
         y_np = np.asarray(y).ravel()
 
@@ -795,7 +788,6 @@ class AudioProcessor:
             config, params, new_state, jnp.asarray(y_np), evidence
         )
         out = np.asarray(y2).ravel()
-        out = self._mix_probe(out)
 
         # publish metrics (host floats; one device fetch per block)
         m = {}
