@@ -40,9 +40,11 @@ import numpy as np
 from ..models import silero
 from ..models import suppressor as supp
 from ..ops import gate as gate_ops
+from ..ops import mixdown as mixdown_ops
 from ..ops import eq as eq_ops
 from ..ops import util
 from . import live_chain as lc
+from .output_writer import OutputWriteController
 from .ringbuffer import AudioRing
 
 __all__ = [
@@ -330,6 +332,10 @@ class AudioProcessor:
             "hum_detected": False,
             "rumble_detected": False,
             "selected_hp_hz": 80.0,
+            "input_stereo_correlation": 1.0,
+            "input_phase_rescue_strategy": "none",
+            "input_phase_estimated_delay_samples": 0.0,
+            "input_phase_polarity_flipped": False,
             "dsp_time_ms": 0.0,
             "dsp_time_smoothed_ms": 0.0,
         }
@@ -350,6 +356,7 @@ class AudioProcessor:
             "output_short_write_dropped_samples": 0,
             "suppressor_non_finite_count": 0,
             "rt_error_code": 0,
+            "input_phase_warning_count": 0,
             "input_callback_error_count": 0,
             "output_callback_error_count": 0,
             "rt_buffer_overflow_count": 0,
@@ -458,12 +465,43 @@ class AudioProcessor:
     # ---- engine threads -------------------------------------------------
 
     def _input_loop(self, source):
-        """Paced producer standing in for the input stream callback."""
+        """Paced producer standing in for the input stream callback.
+
+        Stereo sources (shape ``[n, 2]`` or ``[2, n]``) go through the
+        channel mixdown (`input.rs:136-177`), including phase-safe mono."""
         period = BLOCK / SAMPLE_RATE
         next_at = time.perf_counter()
+        phase_state = mixdown_ops.PhaseSafeMonoState()
         while not self._stop_event.is_set():
             try:
-                block = np.asarray(source(BLOCK), np.float32).ravel()[:BLOCK]
+                raw = np.asarray(source(BLOCK), np.float32)
+                if raw.ndim == 2:
+                    if raw.shape[0] == 2 and raw.shape[1] != 2:
+                        left, right = raw[0], raw[1]
+                    else:
+                        left, right = raw[:, 0], raw[:, 1]
+                    block, corr, diag = mixdown_ops.mix_to_mono(
+                        left[:BLOCK], right[:BLOCK],
+                        self._input_channel_mode, phase_state,
+                    )
+                    with self._lock:
+                        self._metrics["input_stereo_correlation"] = (
+                            1.0 if corr is None else float(corr)
+                        )
+                        self._metrics["input_phase_rescue_strategy"] = (
+                            diag["strategy"]
+                        )
+                        self._metrics["input_phase_estimated_delay_samples"] = (
+                            float(diag["estimated_delay_samples"])
+                        )
+                        self._metrics["input_phase_polarity_flipped"] = (
+                            bool(diag["polarity_flipped"])
+                        )
+                        if (corr is not None and corr
+                                < mixdown_ops.INPUT_PHASE_WARNING_CORRELATION):
+                            self._counters["input_phase_warning_count"] += 1
+                else:
+                    block = raw.ravel()[:BLOCK]
                 if block.size < BLOCK:
                     block = np.pad(block, (0, BLOCK - block.size))
             except Exception:
@@ -618,6 +656,7 @@ class AudioProcessor:
 
     def _dsp_loop_inner(self):
         config, params, topo, par, _ = self._snapshot_control()
+        writer = OutputWriteController(float(SAMPLE_RATE))
         state = lc.live_init(config, eq_bands=self._eq_bands)
         engine = supp.engine_init(
             topo["noise_model"], par["suppressor_strength"]
@@ -658,6 +697,7 @@ class AudioProcessor:
                 with self._lock:
                     self._counters["input_backlog_recovery_count"] += 1
                     self._counters["input_backlog_dropped_samples"] += dropped
+                writer.mark_discontinuity()
 
             x = self._in_ring.read(BLOCK)
             if x.size < BLOCK:
@@ -734,7 +774,19 @@ class AudioProcessor:
                 self._metrics["dsp_time_smoothed_ms"] = smoothed_dsp_ms
                 self._counters["blocks_processed"] += 1
 
-            self._out_ring.write(y)
+            # output-writer conditioning: drift retime toward the queue
+            # target, discontinuity fade after drops
+            conditioned = writer.condition(
+                np.asarray(y, np.float32), self._out_ring.available()
+            )
+            self._out_ring.write(conditioned)
+            with self._lock:
+                self._counters["output_retime_adjustment_count"] = (
+                    writer.retime_adjustment_count
+                )
+                self._counters["jitter_dropped_samples"] = (
+                    writer.jitter_dropped_samples
+                )
             if first:
                 self._dsp_ready.set()
                 first = False
@@ -1339,10 +1391,10 @@ class AudioProcessor:
         return float(self._metrics["output_lufs"])
 
     def get_input_stereo_correlation(self) -> float:
-        return 1.0  # virtual endpoints are mono
+        return float(self._metrics["input_stereo_correlation"])
 
     def get_input_phase_warning_count(self) -> int:
-        return 0
+        return int(self._counters["input_phase_warning_count"])
 
     def get_latency_ms(self) -> float:
         return self.get_engine_latency_ms() + self._latency_compensation_ms
@@ -1650,10 +1702,12 @@ class AudioProcessor:
             "output_crest_factor_db": m["output_crest_factor_db"],
             "output_short_term_lufs": m["output_lufs"],
             "input_stereo_correlation": self.get_input_stereo_correlation(),
-            "input_phase_warning_count": 0,
-            "input_phase_rescue_strategy": "none",
-            "input_phase_estimated_delay_samples": 0.0,
-            "input_phase_polarity_flipped": False,
+            "input_phase_warning_count": c["input_phase_warning_count"],
+            "input_phase_rescue_strategy": m["input_phase_rescue_strategy"],
+            "input_phase_estimated_delay_samples": m[
+                "input_phase_estimated_delay_samples"
+            ],
+            "input_phase_polarity_flipped": m["input_phase_polarity_flipped"],
             "stream_restart_count": self.get_stream_restart_count(),
             "last_restart_reason": self.get_last_restart_reason(),
             "last_stream_error": self.get_last_stream_error(),
