@@ -272,6 +272,64 @@ def eq_process(state, x):
     return new_state, y
 
 
+def _is_identity_section(row) -> bool:
+    """True when a designed section is the identity transfer function:
+    the exact bypass slot [1,0,0,0,0], or a zero-gain design where
+    numerator equals denominator (b0=1, b1=a1, b2=a2) — both pass audio
+    unchanged with state decaying to zero."""
+    b0, b1, b2, a1, a2 = (float(v) for v in row)
+    return (
+        abs(b0 - 1.0) < 1e-12
+        and abs(b1 - a1) < 1e-12
+        and abs(b2 - a2) < 1e-12
+    )
+
+
+def compact_cascade(coeffs, df32_sections: int = DF32_SECTIONS):
+    """Drop identity sections from a static cascade (host-side, f64).
+
+    Returns ``(c_lo, c_hi)``: the surviving low-frequency sections that need
+    the compensated scan and the rest. Offline simulators design the whole
+    cascade once per take, so disabled bands and zero-gain bells cost
+    nothing — the default 10-band layout with a typical Auto-EQ curve keeps
+    ~10 of the 40 section slots.
+    """
+    coeffs = np.asarray(coeffs, np.float64)
+    keep_lo = [
+        row for row in coeffs[:df32_sections] if not _is_identity_section(row)
+    ]
+    keep_hi = [
+        row for row in coeffs[df32_sections:] if not _is_identity_section(row)
+    ]
+    c_lo = np.asarray(keep_lo, np.float64).reshape(len(keep_lo), 5)
+    c_hi = np.asarray(keep_hi, np.float64).reshape(len(keep_hi), 5)
+    return c_lo, c_hi
+
+
+def cascade_apply_split(c_lo, z_lo, c_hi, z_hi, x):
+    """Compacted static cascade: ``c_lo`` sections run the compensated
+    double-word scan, ``c_hi`` the plain one. Shapes carry the (static)
+    section counts, so the split needs no extra static argument.
+    Returns ``(z_lo_out, z_hi_out, y)``."""
+
+    def body_df32(carry, sec):
+        c, zz = sec
+        y, z_out = biquad.apply(c, zz, carry, compensated=True)
+        return y, z_out
+
+    def body_f32(carry, sec):
+        c, zz = sec
+        y, z_out = biquad.apply(c, zz, carry, compensated=False)
+        return y, z_out
+
+    y = x
+    if c_lo.shape[0]:
+        y, z_lo = jax.lax.scan(body_df32, y, (c_lo, z_lo))
+    if c_hi.shape[0]:
+        y, z_hi = jax.lax.scan(body_f32, y, (c_hi, z_hi))
+    return z_lo, z_hi, y
+
+
 def cascade_apply(coeffs, z, x, df32_sections: int = DF32_SECTIONS):
     """Single-lane static-coefficient cascade (no crossfade lanes).
 

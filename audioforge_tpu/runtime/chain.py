@@ -67,44 +67,32 @@ class ChainConfig:
     tp_release_ms: float = 80.0  # `true_peak.rs:285-287` default
 
 
-def _eq_batch_state(eq_state, batch_shape):
-    """Insert batch axes AFTER the section axis (the scan axis of
-    ``eq_process`` stays leading)."""
-
-    def expand(a):
-        target = a.shape[:1] + batch_shape + a.shape[1:]
-        return jnp.broadcast_to(
-            a.reshape(a.shape[:1] + (1,) * len(batch_shape) + a.shape[1:]), target
-        )
-
-    return jax.tree_util.tree_map(expand, eq_state)
-
-
 def chain_init(config: ChainConfig, comp_params=None, eq_bands=None, batch_shape=()):
     """Fresh chain state. ``eq_bands``: list of EqBandConfig or None for the
     flat default layout.
 
     The offline chain never edits coefficients mid-take, so the EQ runs the
-    single-lane static cascade (:func:`..ops.eq.cascade_apply`) — half the
-    work of the crossfaded dual-lane path. ``eq.coeffs`` is traced state, so
-    a vmapped candidate sweep can vary band gains per candidate.
+    single-lane static compacted cascade
+    (:func:`..ops.eq.cascade_apply_split`) — identity sections are dropped
+    at init and the crossfade lanes of the live path are skipped entirely.
     """
-    coeffs = jnp.asarray(
-        eq_ops.bands_to_sections(
-            eq_ops.default_bands() if eq_bands is None else eq_bands,
-            config.sample_rate,
-        ),
-        jnp.float32,
+    full = eq_ops.bands_to_sections(
+        eq_ops.default_bands() if eq_bands is None else eq_bands,
+        config.sample_rate,
     )
+    # identity sections (bypass slots, zero-gain bells) are compacted away
+    # at init — the section counts are baked into the array shapes, so the
+    # compiled cascade only runs live filters
+    c_lo, c_hi = eq_ops.compact_cascade(full)
     eq_state = {
-        "coeffs": coeffs,
-        "z": jnp.zeros((eq_ops.NUM_SECTIONS,) + batch_shape + (2,), jnp.float32),
+        "c_lo": jnp.asarray(c_lo, jnp.float32),
+        "c_hi": jnp.asarray(c_hi, jnp.float32),
+        "z_lo": jnp.zeros((c_lo.shape[0],) + batch_shape + (2,), jnp.float32),
+        "z_hi": jnp.zeros((c_hi.shape[0],) + batch_shape + (2,), jnp.float32),
     }
     return {
         "deesser": des_ops.deesser_init(config.deesser, batch_shape),
-        "eq": _eq_batch_state({"coeffs": eq_state["coeffs"]}, batch_shape) | {
-            "z": eq_state["z"]
-        },
+        "eq": eq_state,
         "compressor": comp_ops.compressor_init(
             config.compressor, comp_params, batch_shape
         ),
@@ -133,8 +121,12 @@ def chain_block(config: ChainConfig, comp_params, state, x):
 
     def run_eq(y):
         es = new_state["eq"]
-        z_out, y = eq_ops.cascade_apply(es["coeffs"], es["z"], y)
-        new_state["eq"] = {"coeffs": es["coeffs"], "z": z_out}
+        z_lo, z_hi, y = eq_ops.cascade_apply_split(
+            es["c_lo"], es["z_lo"], es["c_hi"], es["z_hi"], y
+        )
+        new_state["eq"] = {
+            "c_lo": es["c_lo"], "c_hi": es["c_hi"], "z_lo": z_lo, "z_hi": z_hi,
+        }
         return y
 
     zeros = jnp.zeros(x.shape[:-1], jnp.float32)

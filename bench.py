@@ -51,6 +51,17 @@ def main():
     )
     params = comp_ops.compressor_params(cfg.compressor, threshold_db=-24.0, ratio=3.0)
 
+    # a realistic applied Auto-EQ curve: every band active (nonzero gain)
+    # so the compacted cascade still runs all 10 correction filters
+    from audioforge_tpu.ops import eq as eq_ops
+
+    gains = [-2.5, 1.5, -1.0, 2.0, 3.0, 2.5, 1.5, -2.0, 1.0, -1.5]
+    eq_bands = [
+        eq_ops.EqBandConfig(b.filter_type, b.frequency_hz, g, 4.33,
+                            b.slope_db_per_octave, True)
+        for b, g in zip(eq_ops.default_bands(), gains)
+    ]
+
     rng = np.random.default_rng(0)
     t = np.arange(N_BLOCKS * BLOCK) / FS
     base = 0.25 * np.sin(2 * np.pi * 220 * t) * ((t % 0.6) < 0.35)
@@ -60,7 +71,7 @@ def main():
     ).astype(np.float32)
     blocks = jnp.asarray(audio.reshape(SHAPE + (N_BLOCKS, BLOCK)))
 
-    state = chain_rt.chain_init(cfg, params, batch_shape=SHAPE)
+    state = chain_rt.chain_init(cfg, params, eq_bands=eq_bands, batch_shape=SHAPE)
 
     def whole(st, b):
         st, _, stats = chain_rt.chain_run(cfg, params, st, b, return_audio=False)
@@ -86,7 +97,7 @@ def main():
     throughput = audio_seconds / elapsed
 
     # single-stream block latency (includes host dispatch)
-    one = chain_rt.chain_init(cfg, params)
+    one = chain_rt.chain_init(cfg, params, eq_bands=eq_bands)
     xb = jnp.asarray(audio[0, 0, :BLOCK])
 
     def one_block(s, x):
