@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import loudness, util
+from . import scan as scan_ops
 
 __all__ = [
     "CompressorConfig",
@@ -387,7 +388,8 @@ def _compressor_block(config, params, state, x, evidence, limiter_feedback_db,
                   if k not in ("meter", "smoothed_makeup_gain", "speech_activity_score",
                                "activity_reliability", "current_lufs",
                                "limiter_feedback_gr_db")}
-    final, yt = jax.lax.scan(step, scan_state, xt)
+    final, yt = jax.lax.scan(step, scan_state, xt,
+                             unroll=scan_ops.seq_unroll())
     y = jnp.moveaxis(yt, 0, -1)
 
     # ---- loudness meter fed with the compressed block only when activity

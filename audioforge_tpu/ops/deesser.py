@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import biquad, util
+from . import scan as scan_ops
 
 __all__ = ["DeEsserConfig", "deesser_init", "deesser_reset", "deesser_process"]
 
@@ -313,7 +314,7 @@ def deesser_process(config: DeEsserConfig, state, x):
             "detector_confidence",
         )
     }
-    final, red_t = jax.lax.scan(step, scan_state, (side_t, broad_t))
+    final, red_t = jax.lax.scan(step, scan_state, (side_t, broad_t), unroll=scan_ops.seq_unroll())
     reductions = jnp.moveaxis(red_t, 0, -1)  # [..., 3, T]
 
     # ---- phase 3: per-sample peaking coefficients (only gain varies) and

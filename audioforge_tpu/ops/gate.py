@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import scan as scan_ops
 from . import util
 
 __all__ = [
@@ -157,7 +158,6 @@ def _level_open_score(level_db, threshold_db):
     return jnp.clip((level_db - closed_db) / DETECTOR_HYSTERESIS_DB, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("config",))
 def gate_params(config: GateConfig, threshold_db=None, attack_ms=None,
                 release_ms=None):
     """Traced numeric parameters so live control edits never recompile."""
@@ -176,6 +176,7 @@ def gate_params(config: GateConfig, threshold_db=None, attack_ms=None,
     }
 
 
+@partial(jax.jit, static_argnames=("config",))
 def gate_process(
     config: GateConfig,
     state,
@@ -454,7 +455,7 @@ def gate_process(
         }
         return new_s, y_t
 
-    final, yt = jax.lax.scan(step, state, xt)
+    final, yt = jax.lax.scan(step, state, xt, unroll=scan_ops.seq_unroll())
     if vad_in_use:
         final = dict(final)
         final["previous_vad_probability"] = prob
