@@ -60,7 +60,12 @@ _BLOCK = 128
 def seq_unroll() -> int:
     """Unroll factor for genuinely sequential per-sample scans: 8 on TPU
     (measured ~8x on the fused stage scans), 1 on CPU where deep unrolling
-    blows up XLA compile time."""
+    blows up XLA compile time. ``AFX_SEQ_UNROLL`` overrides for tuning."""
+    import os
+
+    override = os.environ.get("AFX_SEQ_UNROLL")
+    if override:
+        return max(1, int(override))
     return 8 if jax.default_backend() != "cpu" else 1
 
 
