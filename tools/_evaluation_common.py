@@ -1,0 +1,33 @@
+"""Shared plumbing for evaluation decision records.
+
+Mirrors the reference evaluation conventions (`evaluation/README.md:1-10`):
+tracked JSON keeps only experiment configuration, aggregate metrics,
+predefined gates, the decision, and limitations — no raw dumps, no absolute
+paths, no local identifiers.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+_REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(_REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(_REPO_ROOT))
+
+EVALUATION_DIR = _REPO_ROOT / "evaluation"
+
+
+def utc_now() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+def write_report(name: str, report: dict) -> Path:
+    EVALUATION_DIR.mkdir(parents=True, exist_ok=True)
+    path = EVALUATION_DIR / name
+    payload = json.dumps(report, indent=2, sort_keys=True, allow_nan=False)
+    path.write_text(payload + "\n", encoding="utf-8")
+    print(f"wrote {path.relative_to(_REPO_ROOT)}")
+    return path

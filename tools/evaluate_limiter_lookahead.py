@@ -1,0 +1,112 @@
+"""Limiter lookahead decision record.
+
+Framework re-run of `python/tools/evaluate_limiter_lookahead.py`: sweep the
+lookahead (1/2/5 ms) over attack-transient material and measure true-peak
+overshoot above the ceiling, added latency, and gain-reduction pumping. The
+predefined gate retains 2 ms unless a candidate removes residual overshoot
+AND does not add latency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from _evaluation_common import utc_now, write_report
+
+SAMPLE_RATE = 48000.0
+CEILING_DB = -1.0
+
+
+def _transient_material(seed: int, seconds: float = 3.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(seconds * SAMPLE_RATE)
+    x = 0.05 * rng.standard_normal(n).astype(np.float32)
+    for start_s in np.arange(0.25, seconds - 0.1, 0.21):
+        start = int(start_s * SAMPLE_RATE)
+        length = int(0.004 * SAMPLE_RATE)
+        burst = np.hanning(length) * rng.uniform(0.9, 1.4)
+        x[start:start + length] += burst.astype(np.float32)
+    return x
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from audioforge_tpu.ops import limiter as lim_ops
+    from audioforge_tpu.ops import true_peak as tp_ops
+    from audioforge_tpu.api import compressor_pumping_score
+
+    material = _transient_material(7)
+    blocks = material[: len(material) // 480 * 480].reshape(-1, 480)
+    ceiling_lin = 10.0 ** (CEILING_DB / 20.0)
+    results = {}
+    for lookahead_ms in (1.0, 2.0, 5.0):
+        cfg = lim_ops.LimiterConfig(
+            ceiling_db=CEILING_DB, release_ms=50.0,
+            lookahead_ms=lookahead_ms, sample_rate=SAMPLE_RATE,
+        )
+
+        @jax.jit
+        def run(blocks):
+            def body(carry, xb):
+                lim, det = carry
+                lim, y, lm = lim_ops.limiter_process(cfg, lim, xb)
+                det, tp = tp_ops.detector_process(det, y)
+                return (lim, det), (tp, lm["peak_gr_db"])
+
+            init = (lim_ops.limiter_init(cfg), tp_ops.detector_init())
+            _, (tps, grs) = jax.lax.scan(body, init, blocks)
+            return tps, grs
+
+        tps, grs = run(jnp.asarray(blocks))
+        tps = np.asarray(tps)
+        grs = np.asarray(grs)
+        overshoot_db = 20.0 * np.log10(max(float(tps.max()), 1e-9) / ceiling_lin)
+        results[f"{lookahead_ms:g}ms"] = {
+            "lookahead_samples": cfg.lookahead_samples,
+            "added_latency_ms": cfg.lookahead_samples / SAMPLE_RATE * 1e3,
+            "max_true_peak_overshoot_db": round(overshoot_db, 4),
+            "max_gain_reduction_db": round(float(grs.max()), 3),
+            "pumping_score": round(
+                float(compressor_pumping_score(grs, 100.0)), 6
+            ),
+        }
+
+    incumbent = results["2ms"]
+    challengers_better = [
+        key for key, row in results.items()
+        if key != "2ms"
+        and row["max_true_peak_overshoot_db"]
+        < incumbent["max_true_peak_overshoot_db"] - 0.05
+        and row["added_latency_ms"] <= incumbent["added_latency_ms"]
+    ]
+    report = {
+        "schema_version": 1,
+        "generated_at_utc": utc_now(),
+        "experiment": {
+            "ceiling_db": CEILING_DB,
+            "material": "4 ms Hann bursts up to +2.9 dBFS over noise floor",
+            "sweep_ms": [1.0, 2.0, 5.0],
+        },
+        "predefined_gates": {
+            "adopt_if": "overshoot improves >0.05 dB at equal or lower latency",
+        },
+        "metrics": results,
+        "decision": {
+            "lookahead": "retain_2ms" if not challengers_better else
+            f"adopt_{challengers_better[0]}",
+            "reason": (
+                "No candidate beats 2 ms on overshoot without adding latency."
+                if not challengers_better else
+                "Candidate improved overshoot at no latency cost."
+            ),
+        },
+        "limitations": ["Synthetic transients; no perceptual listening."],
+    }
+    write_report("limiter-lookahead-report.json", report)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
