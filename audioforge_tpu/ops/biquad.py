@@ -327,3 +327,48 @@ def unit_process(state, x, compensated=True):
         "fade_remaining": new_remaining,
     }
     return new_state, y
+
+
+# --------------------------------------------------------------------------
+# Per-sample DF2T steps for fused mega-scans. The blocked parallel scans
+# above are the default; these exist so a chain-level fused scan (one
+# sequential pass carrying every stage's state) can advance a biquad one
+# sample at a time with the same state layout.
+# --------------------------------------------------------------------------
+
+
+def df2t_step(coeffs, z, x_t):
+    """One DF2T sample: ``coeffs [...,5]``, ``z [...,2]``, scalar-per-stream
+    ``x_t``. Returns ``(y_t, z_next)``."""
+    b0, b1, b2, a1, a2 = (coeffs[..., i] for i in range(5))
+    y = b0 * x_t + z[..., 0]
+    z1 = b1 * x_t - a1 * y + z[..., 1]
+    z2 = b2 * x_t - a2 * y
+    return y, jnp.stack([z1, z2], axis=-1)
+
+
+def df2t_step_df32(coeffs, z_dw, x_t):
+    """Compensated double-word-f32 DF2T sample step.
+
+    ``z_dw``: ``[..., 2, 2]`` — ``z_dw[..., i, :] = (hi, lo)`` of state i.
+    Matches the precision of :func:`..ops.scan.affine_scan_2x2_compensated`
+    so low-frequency sections stay inside the <1e-4 parity budget when run
+    sample-at-a-time inside a fused scan. Returns ``(y_t, z_dw_next)``.
+    """
+    from .scan import _df_add, _df_mul
+
+    b0, b1, b2, a1, a2 = (coeffs[..., i] for i in range(5))
+    zero = jnp.zeros_like(x_t)
+    z1 = (z_dw[..., 0, 0], z_dw[..., 0, 1])
+    z2 = (z_dw[..., 1, 0], z_dw[..., 1, 1])
+    x = (x_t, zero)
+    y_dw = _df_add(_df_mul((b0, zero), x), z1)
+    z1n = _df_add(_df_add(_df_mul((b1, zero), x),
+                          _df_mul((-a1, zero), y_dw)), z2)
+    z2n = _df_add(_df_mul((b2, zero), x), _df_mul((-a2, zero), y_dw))
+    z_next = jnp.stack(
+        [jnp.stack([z1n[0], z1n[1]], axis=-1),
+         jnp.stack([z2n[0], z2n[1]], axis=-1)],
+        axis=-2,
+    )
+    return y_dw[0] + y_dw[1], z_next

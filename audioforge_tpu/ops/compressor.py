@@ -233,37 +233,25 @@ def _compute_gain_reduction(params, detector_db):
     return jnp.where(knee <= 0.0, hard, soft)
 
 
-@partial(jax.jit, static_argnames=("config", "has_evidence"))
-def _compressor_block(config, params, state, x, evidence, limiter_feedback_db,
-                      has_evidence):
+_SCAN_BLOCK_KEYS = ("meter", "smoothed_makeup_gain", "speech_activity_score",
+                    "activity_reliability", "current_lufs",
+                    "limiter_feedback_gr_db")
+
+
+def make_sample_step(config: CompressorConfig, params, makeup_lin):
+    """Per-sample compressor step for the stage scan or a chain-level fused
+    scan. The carry is ``state`` minus the block-cadence keys
+    (``_SCAN_BLOCK_KEYS``); returns ``step(s, x_t) -> (s', y_t)``."""
     fs = config.sample_rate
-    T = x.shape[-1]
     rms_c = jnp.float32(_coeff(20.0, fs))
     band_c = jnp.float32(_coeff(SIDECHAIN_BAND_ENV_MS, fs))
     rel_smooth_c = jnp.float32(_coeff(100.0, fs))
     fast_c = jnp.float32(_coeff(ADAPTIVE_FAST_RELEASE_MS, fs))
     charge_c = jnp.float32(_coeff(ADAPTIVE_SLOW_CHARGE_MS, fs))
     slow_c = jnp.float32(_coeff(ADAPTIVE_SLOW_RELEASE_MS, fs))
-
-    lim_fb = jnp.broadcast_to(
-        jnp.clip(jnp.asarray(limiter_feedback_db, jnp.float32), 0.0, 24.0),
-        state["limiter_feedback_gr_db"].shape,
-    )
-
-    # ---- block-level activity estimate on the INPUT block
-    power = jnp.mean(x * x, axis=-1)
-    block_rms_db = util.linear_to_db(jnp.maximum(jnp.sqrt(power), 1e-10), -200.0)
-    activity, reliability = _estimate_activity(
-        params, block_rms_db, evidence if has_evidence else None
-    )
-
-    makeup_db = state["smoothed_makeup_gain"]
-    makeup_lin = jnp.power(10.0, makeup_db / 20.0)
     # Loop-invariant: the peak-detector release coefficient is pinned at
     # construction time (`compressor.rs:155`), independent of release edits.
     base_rel_c = params["detector_release_coeff"]
-
-    xt = jnp.moveaxis(x, -1, 0)
 
     def step(s, x_t):
         # ---- sidechain high-pass (`compressor.rs:417-428`)
@@ -384,14 +372,16 @@ def _compressor_block(config, params, state, x, evidence, limiter_feedback_db,
         )
         return new_s, y_t
 
-    scan_state = {k: v for k, v in state.items()
-                  if k not in ("meter", "smoothed_makeup_gain", "speech_activity_score",
-                               "activity_reliability", "current_lufs",
-                               "limiter_feedback_gr_db")}
-    final, yt = jax.lax.scan(step, scan_state, xt,
-                             unroll=scan_ops.seq_unroll())
-    y = jnp.moveaxis(yt, 0, -1)
+    return step
 
+
+def finalize_block(config, params, state, final, y, T, activity,
+                   reliability, lim_fb):
+    """Block-cadence epilogue shared by the stage path and fused chain scans:
+    activity-gated loudness metering and the speech-aware auto-makeup
+    controller (`compressor.rs:608-663`). ``final`` is the scan carry after
+    the per-sample pass; ``y`` the compressed block."""
+    fs = config.sample_rate
     # ---- loudness meter fed with the compressed block only when activity
     # gates pass (`compressor.rs:745-752` block path)
     meter_gate = (activity > AUTO_MAKEUP_ACTIVE_MIN) & (
@@ -473,6 +463,41 @@ def _compressor_block(config, params, state, x, evidence, limiter_feedback_db,
         "reliability": reliability,
         "plosive_ratio": final["plosive_ratio"],
     }
+    return new_state, metrics
+
+@partial(jax.jit, static_argnames=("config", "has_evidence"))
+def _compressor_block(config, params, state, x, evidence, limiter_feedback_db,
+                      has_evidence):
+    fs = config.sample_rate
+    T = x.shape[-1]
+
+    lim_fb = jnp.broadcast_to(
+        jnp.clip(jnp.asarray(limiter_feedback_db, jnp.float32), 0.0, 24.0),
+        state["limiter_feedback_gr_db"].shape,
+    )
+
+    # ---- block-level activity estimate on the INPUT block
+    power = jnp.mean(x * x, axis=-1)
+    block_rms_db = util.linear_to_db(jnp.maximum(jnp.sqrt(power), 1e-10), -200.0)
+    activity, reliability = _estimate_activity(
+        params, block_rms_db, evidence if has_evidence else None
+    )
+
+    makeup_db = state["smoothed_makeup_gain"]
+    makeup_lin = jnp.power(10.0, makeup_db / 20.0)
+    step = make_sample_step(config, params, makeup_lin)
+
+    xt = jnp.moveaxis(x, -1, 0)
+
+    scan_state = {k: v for k, v in state.items()
+                  if k not in _SCAN_BLOCK_KEYS}
+    final, yt = jax.lax.scan(step, scan_state, xt,
+                             unroll=scan_ops.seq_unroll())
+    y = jnp.moveaxis(yt, 0, -1)
+
+    new_state, metrics = finalize_block(
+        config, params, state, final, y, T, activity, reliability, lim_fb
+    )
     return new_state, y, metrics
 
 

@@ -41,7 +41,16 @@ import numpy as np
 from . import biquad, util
 from . import scan as scan_ops
 
-__all__ = ["DeEsserConfig", "deesser_init", "deesser_reset", "deesser_process"]
+__all__ = [
+    "DeEsserConfig",
+    "deesser_init",
+    "deesser_reset",
+    "deesser_process",
+    "detector_filter_block",
+    "make_envelope_step",
+    "dynamic_band_constants",
+    "dynamic_peaking_coeffs",
+]
 
 VOICE_REFERENCE_SIDECHAIN_DISCOUNT = 0.6
 DETECTOR_RATIO_GATE_DB = 1.5
@@ -133,26 +142,59 @@ def _lerp(a, b, t):
     return a + (b - a) * t
 
 
-@partial(jax.jit, static_argnames=("config",))
-def deesser_process(config: DeEsserConfig, state, x):
-    """De-ess a block ``x: [..., T]``. Returns ``(new_state, y, metrics)``."""
-    if not config.enabled:
-        new_state = dict(
-            state,
-            current_reduction_db=jnp.zeros_like(state["current_reduction_db"]),
-            detector_confidence=jnp.zeros_like(state["detector_confidence"]),
-        )
-        metrics = {
-            "reduction_db": new_state["current_reduction_db"],
-            "confidence": new_state["detector_confidence"],
-            "band_reduction_db": state["reduction_db"],
-        }
-        return new_state, x, metrics
+def detector_filter_block(config: DeEsserConfig, det_z, x):
+    """Phase 1: constant-coefficient sidechain filters, fully parallel.
 
+    Bands filtered one at a time: batching the 3-band axis through the
+    blocked scan produces (..., 3, chunks)-shaped intermediates that
+    trigger an XLA:TPU fusion-transform CHECK failure (fusion_util.cc
+    "TransformWindow: Loop will not make progress").
+    Returns ``(det_z_out, side_abs [..., 3, T], broad_abs [..., T])``."""
+    det_c = jnp.asarray(_detector_coeffs(config), jnp.float32)  # (3,2,5)
+    side_list, hp_zs, lp_zs = [], [], []
+    for b in range(BAND_COUNT):
+        hp_y, hp_z = biquad.apply(det_c[b, 0, :], det_z[..., b, 0, :], x)
+        lp_y, lp_z = biquad.apply(det_c[b, 1, :], det_z[..., b, 1, :], hp_y)
+        side_list.append(jnp.abs(lp_y))
+        hp_zs.append(hp_z)
+        lp_zs.append(lp_z)
+    det_z_out = jnp.stack(
+        [jnp.stack([hp_zs[b], lp_zs[b]], axis=-2) for b in range(BAND_COUNT)],
+        axis=-3,
+    )
+    return det_z_out, jnp.stack(side_list, axis=-2), jnp.abs(x)
+
+
+def dynamic_band_constants(config: DeEsserConfig):
+    """Static (cos w0, alpha) per dynamic-EQ band (`deesser.rs:257-266`)."""
+    centers, qs = config.band_centers_qs()
     fs = config.sample_rate
-    T = x.shape[-1]
-    lead = x.shape[:-1]
+    out = []
+    for c_hz, q in zip(centers, qs):
+        w0 = 2.0 * np.pi * c_hz / fs
+        out.append((float(np.cos(w0)), float(np.sin(w0) / (2.0 * q))))
+    return out
 
+
+def dynamic_peaking_coeffs(reduction_db, cos_w: float, alpha: float):
+    """Per-sample peaking-cut coefficients: only the gain varies
+    (`deesser.rs:528-546`). ``reduction_db``: any shape; returns
+    ``[..., 5]``."""
+    A = jnp.power(10.0, -reduction_db / 40.0)
+    a0 = 1.0 + alpha / A
+    neg2cos = jnp.broadcast_to(jnp.float32(-2.0 * cos_w), A.shape)
+    return jnp.stack(
+        [(1.0 + alpha * A) / a0, neg2cos / a0, (1.0 - alpha * A) / a0,
+         neg2cos / a0, (1.0 - alpha / A) / a0],
+        axis=-1,
+    )
+
+
+def make_envelope_step(config: DeEsserConfig):
+    """Phase 2 step factory: the fused envelope/confidence/baseline/
+    reduction recurrence, reusable by the stage scan and chain-level fused
+    scans. ``step(s, (side_abs_t, broad_abs_t)) -> (s_next, reduction_t)``."""
+    fs = config.sample_rate
     det_atk = jnp.float32(_coeff(1.5, fs))
     det_rel = jnp.float32(_coeff(60.0, fs))
     atk = jnp.float32(_coeff(2.0, fs))
@@ -161,28 +203,6 @@ def deesser_process(config: DeEsserConfig, state, x):
     base_rise = jnp.float32(_coeff(AUTO_BASELINE_RISE_MS, fs))
     base_decay = jnp.float32(_coeff(AUTO_BASELINE_INACTIVE_DECAY_MS, fs))
 
-    # ---- phase 1: constant-coefficient sidechain filters, fully parallel.
-    # Bands filtered one at a time: batching the 3-band axis through the
-    # blocked scan produces (..., 3, chunks)-shaped intermediates that
-    # trigger an XLA:TPU fusion-transform CHECK failure (fusion_util.cc
-    # "TransformWindow: Loop will not make progress").
-    det_c = jnp.asarray(_detector_coeffs(config), jnp.float32)  # (3,2,5)
-    side_list, hp_zs, lp_zs = [], [], []
-    for b in range(BAND_COUNT):
-        hp_y, hp_z = biquad.apply(det_c[b, 0, :], state["det_z"][..., b, 0, :], x)
-        lp_y, lp_z = biquad.apply(det_c[b, 1, :], state["det_z"][..., b, 1, :], hp_y)
-        side_list.append(jnp.abs(lp_y))
-        hp_zs.append(hp_z)
-        lp_zs.append(lp_z)
-    det_z_out = jnp.stack(
-        [jnp.stack([hp_zs[b], lp_zs[b]], axis=-2) for b in range(BAND_COUNT)],
-        axis=-3,
-    )
-    side_abs = jnp.stack(side_list, axis=-2)  # [..., 3, T]
-    broad_abs = jnp.abs(x)  # [..., T]
-
-    # ---- phase 2: one fused scan for every envelope/confidence/baseline/
-    # reduction recurrence
     amount = float(np.clip(config.auto_amount, 0.0, 1.0))
     trigger_offset = _lerp(8.0, 0.8, amount)
     slope = _lerp(0.08, 1.9, amount)
@@ -197,9 +217,6 @@ def deesser_process(config: DeEsserConfig, state, x):
     def smooth(prev, inp, a_c, r_c):
         c = jnp.where(inp > prev, a_c, r_c)
         return c * prev + (1.0 - c) * inp
-
-    side_t = jnp.moveaxis(side_abs, -1, 0)  # (T, ..., 3)
-    broad_t = jnp.moveaxis(broad_abs, -1, 0)  # (T, ...)
 
     def step(s, inputs):
         sb, bb = inputs  # sb: [..., 3], bb: [...]
@@ -302,6 +319,37 @@ def deesser_process(config: DeEsserConfig, state, x):
         }
         return new_s, reduction
 
+    return step
+
+
+@partial(jax.jit, static_argnames=("config",))
+def deesser_process(config: DeEsserConfig, state, x):
+    """De-ess a block ``x: [..., T]``. Returns ``(new_state, y, metrics)``."""
+    if not config.enabled:
+        new_state = dict(
+            state,
+            current_reduction_db=jnp.zeros_like(state["current_reduction_db"]),
+            detector_confidence=jnp.zeros_like(state["detector_confidence"]),
+        )
+        metrics = {
+            "reduction_db": new_state["current_reduction_db"],
+            "confidence": new_state["detector_confidence"],
+            "band_reduction_db": state["reduction_db"],
+        }
+        return new_state, x, metrics
+
+
+    T = x.shape[-1]
+
+    # phase 1: parallel sidechain filtering
+    det_z_out, side_abs, broad_abs = detector_filter_block(
+        config, state["det_z"], x
+    )
+
+    # phase 2: the fused sequential recurrence (only genuinely serial part)
+    step = make_envelope_step(config)
+    side_t = jnp.moveaxis(side_abs, -1, 0)  # (T, ..., 3)
+    broad_t = jnp.moveaxis(broad_abs, -1, 0)  # (T, ...)
     scan_state = {
         k: state[k]
         for k in (
@@ -317,30 +365,16 @@ def deesser_process(config: DeEsserConfig, state, x):
     final, red_t = jax.lax.scan(step, scan_state, (side_t, broad_t), unroll=scan_ops.seq_unroll())
     reductions = jnp.moveaxis(red_t, 0, -1)  # [..., 3, T]
 
-    # ---- phase 3: per-sample peaking coefficients (only gain varies) and
+    # phase 3: per-sample peaking coefficients (only gain varies) and
     # 3 time-varying biquads in cascade (`deesser.rs:528-546`)
-    centers, qs = config.band_centers_qs()
+    band_consts = dynamic_band_constants(config)
     y = x
     dyn_z = []
     for b in range(BAND_COUNT):
-        w0 = 2.0 * np.pi * centers[b] / fs
-        cos_w = float(np.cos(w0))
-        alpha = float(np.sin(w0) / (2.0 * qs[b]))
-        A = jnp.power(10.0, -reductions[..., b, :] / 40.0)
-        a0 = 1.0 + alpha / A
-        coeffs_t = jnp.stack(
-            [
-                (1.0 + alpha * A) / a0,
-                jnp.broadcast_to(-2.0 * cos_w, A.shape) / a0,
-                (1.0 - alpha * A) / a0,
-                jnp.broadcast_to(-2.0 * cos_w, A.shape) / a0,
-                (1.0 - alpha / A) / a0,
-            ],
-            axis=-1,
-        )  # [..., T, 5]
+        cos_w, alpha = band_consts[b]
+        coeffs_t = dynamic_peaking_coeffs(reductions[..., b, :], cos_w, alpha)
         y, z_out = biquad.apply(coeffs_t, state["dyn_z"][..., b, :], y)
         dyn_z.append(z_out)
-
     new_state = dict(
         final,
         det_z=det_z_out,

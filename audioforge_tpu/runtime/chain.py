@@ -24,11 +24,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import biquad
 from ..ops import compressor as comp_ops
 from ..ops import deesser as des_ops
 from ..ops import eq as eq_ops
 from ..ops import limiter as lim_ops
+from ..ops import scan as scan_ops
 from ..ops import true_peak as tp_ops
+from ..ops import util
 
 __all__ = [
     "ChainConfig",
@@ -65,6 +68,14 @@ class ChainConfig:
         ceiling_db=-0.5, release_ms=50.0, lookahead_ms=2.0
     )
     tp_release_ms: float = 80.0  # `true_peak.rs:285-287` default
+    # Fuse deesser -> EQ -> compressor into ONE per-sample scan. Measured
+    # on TPU v5e (batch 1024): the fused scan is ~3x SLOWER than the staged
+    # path (1.13k vs 3.44k audio-sec/s) — XLA:TPU loop cost scales with the
+    # body size, so halving the step count while tripling the per-step body
+    # loses; the staged path also keeps the EQ/dynamic-EQ as parallel
+    # scans. Kept selectable for future hardware where step latency
+    # dominates. Output parity staged vs fused: 7e-7 RMS.
+    fused: bool = False
 
 
 def chain_init(config: ChainConfig, comp_params=None, eq_bands=None, batch_shape=()):
@@ -102,6 +113,165 @@ def chain_init(config: ChainConfig, comp_params=None, eq_bands=None, batch_shape
     }
 
 
+def _chain_tail(config: ChainConfig, new_state, y, stats):
+    """Limiter -> true-peak limiter -> output metering, shared by the staged
+    and fused paths."""
+    zeros = jnp.zeros(y.shape[:-1], jnp.float32)
+    if config.limiter_enabled:
+        ls, y, lm = lim_ops.limiter_process(config.limiter, new_state["limiter"], y)
+        new_state["limiter"] = ls
+        stats["limiter_peak_gain_reduction_db"] = lm["peak_gr_db"]
+        tp_cfg = tp_ops.TruePeakLimiterConfig(
+            ceiling_db=config.limiter.ceiling_db,
+            release_ms=config.tp_release_ms,
+            sample_rate=config.sample_rate,
+        )
+        ts, y, tm = tp_ops.tp_limiter_process(
+            tp_cfg, new_state["tp"], y,
+            ceiling_linear=config.limiter.ceiling_linear,
+        )
+        new_state["tp"] = ts
+        stats["true_peak_limiter_input_peak"] = tm["input_true_peak"]
+        stats["true_peak_limiter_gain_reduction_db"] = tm["max_gain_reduction_db"]
+        stats["true_peak_limited_events"] = tm["limited_events"]
+    else:
+        stats["limiter_peak_gain_reduction_db"] = zeros
+        stats["true_peak_limiter_input_peak"] = zeros
+        stats["true_peak_limiter_gain_reduction_db"] = zeros
+        stats["true_peak_limited_events"] = jnp.zeros(y.shape[:-1], jnp.int32)
+
+    stats["output_sample_peak"] = jnp.max(jnp.abs(y), axis=-1)
+    td, otp = tp_ops.detector_process(new_state["tp_detector"], y)
+    new_state["tp_detector"] = td
+    stats["output_true_peak"] = otp
+    return new_state, y, stats
+
+
+_DES_SCAN_KEYS = (
+    "broadband_env", "band_env", "band_confidence", "baseline_excess_db",
+    "reduction_db", "current_reduction_db", "detector_confidence",
+)
+
+
+def _fused_des_eq_comp(config: ChainConfig, comp_params, state, x):
+    """De-esser -> EQ -> compressor as ONE per-sample scan.
+
+    The three stages' sequential recurrences advance together each sample:
+    de-esser envelopes -> 3 dynamic peaking DF2T steps -> the compacted EQ
+    cascade (compensated df32 steps for the low-frequency sections, plain
+    f32 for the rest — per-sample DF2T is *more* accurate than the blocked
+    parallel scan, measured 3e-5 plain / 2e-6 df32 vs the compensated
+    reference on the 80 Hz high-pass) -> the compressor sample step. The
+    de-esser detector filters stay outside as parallel scans, and the
+    compressor's block-cadence auto-makeup runs on the accumulated block
+    energy afterwards. Sequential step count per block: T instead of 2T+.
+    """
+    des_cfg = config.deesser
+    det_z_out, side_abs, broad_abs = des_ops.detector_filter_block(
+        des_cfg, state["deesser"]["det_z"], x
+    )
+    des_step = des_ops.make_envelope_step(des_cfg)
+    band_consts = des_ops.dynamic_band_constants(des_cfg)
+
+    comp_state = state["compressor"]
+    makeup_lin = jnp.power(10.0, comp_state["smoothed_makeup_gain"] / 20.0)
+    comp_step = comp_ops.make_sample_step(
+        config.compressor, comp_params, makeup_lin
+    )
+
+    es = state["eq"]
+    c_lo, c_hi = es["c_lo"], es["c_hi"]
+    k_lo, k_hi = c_lo.shape[0], c_hi.shape[0]
+
+    lead = x.shape[:-1]
+    zeros_lead = jnp.zeros(lead, jnp.float32)
+    carry = {
+        "des": {k: state["deesser"][k] for k in _DES_SCAN_KEYS},
+        "dyn_z": state["deesser"]["dyn_z"],
+        # df32 carry for the compensated sections: (hi, lo) per state var
+        "eq_lo": jnp.stack(
+            [es["z_lo"], jnp.zeros_like(es["z_lo"])], axis=-1
+        ),  # [k_lo, ..., 2, 2]
+        "eq_hi": es["z_hi"],  # [k_hi, ..., 2]
+        "comp": {k: v for k, v in comp_state.items()
+                 if k not in comp_ops._SCAN_BLOCK_KEYS},
+        "sum_sq": zeros_lead,  # compressor-input energy for block activity
+    }
+
+    side_t = jnp.moveaxis(side_abs, -1, 0)
+    broad_t = jnp.moveaxis(broad_abs, -1, 0)
+    xt = jnp.moveaxis(x, -1, 0)
+
+    def step(c, inputs):
+        sb, bb, x_t = inputs
+        des_s, red = des_step(c["des"], (sb, bb))
+        y = x_t
+        dyn = []
+        for b in range(des_ops.BAND_COUNT):
+            cos_w, alpha = band_consts[b]
+            coeffs = des_ops.dynamic_peaking_coeffs(red[..., b], cos_w, alpha)
+            y, z_new = biquad.df2t_step(coeffs, c["dyn_z"][..., b, :], y)
+            dyn.append(z_new)
+        eq_lo = []
+        for i in range(k_lo):
+            y, z_new = biquad.df2t_step_df32(c_lo[i], c["eq_lo"][i], y)
+            eq_lo.append(z_new)
+        eq_hi = []
+        for i in range(k_hi):
+            y, z_new = biquad.df2t_step(c_hi[i], c["eq_hi"][i], y)
+            eq_hi.append(z_new)
+        sum_sq = c["sum_sq"] + y * y
+        comp_s, y_out = comp_step(c["comp"], y)
+        new_c = {
+            "des": des_s,
+            "dyn_z": jnp.stack(dyn, axis=-2),
+            "eq_lo": jnp.stack(eq_lo, axis=0) if eq_lo else c["eq_lo"],
+            "eq_hi": jnp.stack(eq_hi, axis=0) if eq_hi else c["eq_hi"],
+            "comp": comp_s,
+            "sum_sq": sum_sq,
+        }
+        return new_c, y_out
+
+    final, yt = jax.lax.scan(
+        step, carry, (side_t, broad_t, xt), unroll=scan_ops.seq_unroll()
+    )
+    y = jnp.moveaxis(yt, 0, -1)
+    T = x.shape[-1]
+
+    # compressor block epilogue on the accumulated pre-compressor energy
+    block_rms_db = util.linear_to_db(
+        jnp.maximum(jnp.sqrt(final["sum_sq"] / T), 1e-10), -200.0
+    )
+    activity, reliability = comp_ops._estimate_activity(
+        comp_params, block_rms_db, None
+    )
+    lim_fb = jnp.broadcast_to(
+        jnp.float32(0.0), comp_state["limiter_feedback_gr_db"].shape
+    )
+    new_comp, comp_metrics = comp_ops.finalize_block(
+        config.compressor, comp_params, comp_state, final["comp"], y, T,
+        activity, reliability, lim_fb,
+    )
+
+    new_deesser = dict(
+        state["deesser"], det_z=det_z_out, dyn_z=final["dyn_z"],
+        **final["des"],
+    )
+    new_eq = {
+        "c_lo": c_lo, "c_hi": c_hi,
+        "z_lo": final["eq_lo"][..., 0] + final["eq_lo"][..., 1],
+        "z_hi": final["eq_hi"],
+    }
+    stats = {
+        "deesser_gain_reduction_db": final["des"]["current_reduction_db"],
+        "compressor_gain_reduction_db": comp_metrics["gain_reduction_db"],
+    }
+    new_state = dict(
+        state, deesser=new_deesser, eq=new_eq, compressor=new_comp
+    )
+    return new_state, y, stats
+
+
 def chain_block(config: ChainConfig, comp_params, state, x):
     """Process one block ``x: [..., T]``. Returns ``(state, y, stats)``.
 
@@ -112,6 +282,21 @@ def chain_block(config: ChainConfig, comp_params, state, x):
     stats = {"input_sample_peak": jnp.max(jnp.abs(x), axis=-1)}
     y = x
     new_state = dict(state)
+
+    fuse = (
+        config.fused
+        and config.deesser_enabled
+        and config.eq_enabled
+        and config.compressor_enabled
+        and not config.eq_before_deesser
+    )
+    if fuse:
+        new_state, y, fused_stats = _fused_des_eq_comp(
+            config, comp_params, state, x
+        )
+        new_state = dict(new_state)
+        stats.update(fused_stats)
+        return _chain_tail(config, new_state, y, stats)
 
     def run_deesser(y):
         ds, y, dm = des_ops.deesser_process(config.deesser, new_state["deesser"], y)
@@ -151,34 +336,7 @@ def chain_block(config: ChainConfig, comp_params, state, x):
     else:
         stats["compressor_gain_reduction_db"] = zeros
 
-    if config.limiter_enabled:
-        ls, y, lm = lim_ops.limiter_process(config.limiter, new_state["limiter"], y)
-        new_state["limiter"] = ls
-        stats["limiter_peak_gain_reduction_db"] = lm["peak_gr_db"]
-        tp_cfg = tp_ops.TruePeakLimiterConfig(
-            ceiling_db=config.limiter.ceiling_db,
-            release_ms=config.tp_release_ms,
-            sample_rate=config.sample_rate,
-        )
-        ts, y, tm = tp_ops.tp_limiter_process(
-            tp_cfg, new_state["tp"], y,
-            ceiling_linear=config.limiter.ceiling_linear,
-        )
-        new_state["tp"] = ts
-        stats["true_peak_limiter_input_peak"] = tm["input_true_peak"]
-        stats["true_peak_limiter_gain_reduction_db"] = tm["max_gain_reduction_db"]
-        stats["true_peak_limited_events"] = tm["limited_events"]
-    else:
-        stats["limiter_peak_gain_reduction_db"] = zeros
-        stats["true_peak_limiter_input_peak"] = zeros
-        stats["true_peak_limiter_gain_reduction_db"] = zeros
-        stats["true_peak_limited_events"] = jnp.zeros(x.shape[:-1], jnp.int32)
-
-    stats["output_sample_peak"] = jnp.max(jnp.abs(y), axis=-1)
-    td, otp = tp_ops.detector_process(new_state["tp_detector"], y)
-    new_state["tp_detector"] = td
-    stats["output_true_peak"] = otp
-    return new_state, y, stats
+    return _chain_tail(config, new_state, y, stats)
 
 
 @partial(jax.jit, static_argnames=("config", "return_audio"))
