@@ -131,12 +131,15 @@ def _builtin_devices():
     )
 
 
-def register_virtual_input(name: str, source_factory) -> None:
+def register_virtual_input(name: str, source_factory,
+                           sample_rate: int = SAMPLE_RATE) -> None:
     """Register an input endpoint. ``source_factory`` is either a callable
     ``(n) -> float32[n]`` used directly, or a zero-arg factory returning
-    one (fresh state per stream)."""
+    one (fresh state per stream). ``sample_rate`` declares the device's
+    native rate; the engine resamples to 48 kHz on ingest
+    (`dsp_loop.rs:960-1025`)."""
     with _REGISTRY_LOCK:
-        _INPUT_DEVICES[str(name)] = source_factory
+        _INPUT_DEVICES[str(name)] = (source_factory, int(sample_rate))
 
 
 def register_virtual_output(name: str, sink_factory) -> None:
@@ -146,11 +149,24 @@ def register_virtual_output(name: str, sink_factory) -> None:
         _OUTPUT_DEVICES[str(name)] = sink_factory
 
 
-def _enumerate(direction: str) -> list[DeviceInfo]:
+def _registry_table(direction: str) -> dict:
+    """name -> (factory, sample_rate)."""
     builtin_in, builtin_out = _builtin_devices()
     with _REGISTRY_LOCK:
-        table = dict(builtin_in if direction == "input" else builtin_out)
-        table.update(_INPUT_DEVICES if direction == "input" else _OUTPUT_DEVICES)
+        if direction == "input":
+            table = {k: (v, SAMPLE_RATE) for k, v in builtin_in.items()}
+            table.update(_INPUT_DEVICES)
+        else:
+            table = {k: (v, SAMPLE_RATE) for k, v in builtin_out.items()}
+            table.update(
+                {k: (v if isinstance(v, tuple) else (v, SAMPLE_RATE))
+                 for k, v in _OUTPUT_DEVICES.items()}
+            )
+    return table
+
+
+def _enumerate(direction: str) -> list[DeviceInfo]:
+    table = _registry_table(direction)
     default = "Null Input" if direction == "input" else "Null Output"
     return [
         DeviceInfo(
@@ -158,8 +174,9 @@ def _enumerate(direction: str) -> list[DeviceInfo]:
             is_default=(name == default),
             endpoint_id=f"virtual:{direction}:{name}",
             direction=direction,
+            sample_rate=rate,
         )
-        for name in table
+        for name, (_, rate) in table.items()
     ]
 
 
@@ -172,22 +189,19 @@ def list_output_devices() -> list[DeviceInfo]:
 
 
 def _resolve(direction: str, name: str | None):
-    builtin_in, builtin_out = _builtin_devices()
-    with _REGISTRY_LOCK:
-        table = dict(builtin_in if direction == "input" else builtin_out)
-        table.update(_INPUT_DEVICES if direction == "input" else _OUTPUT_DEVICES)
+    table = _registry_table(direction)
     if name is None:
         name = "Null Input" if direction == "input" else "Null Output"
     if name not in table:
         raise RuntimeError(
             f"Failed to resolve audio {direction}: no device named {name!r}"
         )
-    factory = table[name]
+    factory, rate = table[name]
     try:
         endpoint = factory()  # zero-arg factory
     except TypeError:
         endpoint = factory  # direct callable
-    return name, endpoint
+    return name, endpoint, rate
 
 
 # --------------------------------------------------------------------------
@@ -380,8 +394,9 @@ class AudioProcessor:
         with self._lock:
             if self._running:
                 raise RuntimeError("Already running")
-            in_name, source = _resolve("input", input_device)
-            out_name, sink = _resolve("output", output_device)
+            in_name, source, in_rate = _resolve("input", input_device)
+            out_name, sink, _out_rate = _resolve("output", output_device)
+            self._input_device_rate = in_rate
 
             cap = SAMPLE_RATE  # 1 s of staging, matches reference rings
             self._in_ring = AudioRing(cap)
@@ -402,7 +417,7 @@ class AudioProcessor:
                     target=self._dsp_loop, name="afx-dsp", daemon=True
                 ),
                 threading.Thread(
-                    target=self._input_loop, args=(source,),
+                    target=self._input_loop, args=(source, in_rate),
                     name="afx-input", daemon=True,
                 ),
                 threading.Thread(
@@ -464,24 +479,33 @@ class AudioProcessor:
 
     # ---- engine threads -------------------------------------------------
 
-    def _input_loop(self, source):
+    def _input_loop(self, source, device_rate: int = SAMPLE_RATE):
         """Paced producer standing in for the input stream callback.
 
         Stereo sources (shape ``[n, 2]`` or ``[2, n]``) go through the
-        channel mixdown (`input.rs:136-177`), including phase-safe mono."""
-        period = BLOCK / SAMPLE_RATE
+        channel mixdown (`input.rs:136-177`, including phase-safe mono);
+        non-48k devices are resampled on ingest (`dsp_loop.rs:960-1025`)."""
+        from ..ops.resample import StreamingResampler
+
+        # pull device-rate-sized chunks covering one 10 ms engine block
+        pull = max(1, int(round(BLOCK * device_rate / SAMPLE_RATE)))
+        resampler = (
+            StreamingResampler(device_rate, SAMPLE_RATE)
+            if device_rate != SAMPLE_RATE else None
+        )
+        period = pull / device_rate
         next_at = time.perf_counter()
         phase_state = mixdown_ops.PhaseSafeMonoState()
         while not self._stop_event.is_set():
             try:
-                raw = np.asarray(source(BLOCK), np.float32)
+                raw = np.asarray(source(pull), np.float32)
                 if raw.ndim == 2:
                     if raw.shape[0] == 2 and raw.shape[1] != 2:
                         left, right = raw[0], raw[1]
                     else:
                         left, right = raw[:, 0], raw[:, 1]
                     block, corr, diag = mixdown_ops.mix_to_mono(
-                        left[:BLOCK], right[:BLOCK],
+                        left[:pull], right[:pull],
                         self._input_channel_mode, phase_state,
                     )
                     with self._lock:
@@ -501,9 +525,11 @@ class AudioProcessor:
                                 < mixdown_ops.INPUT_PHASE_WARNING_CORRELATION):
                             self._counters["input_phase_warning_count"] += 1
                 else:
-                    block = raw.ravel()[:BLOCK]
-                if block.size < BLOCK:
-                    block = np.pad(block, (0, BLOCK - block.size))
+                    block = raw.ravel()[:pull]
+                if block.size < pull:
+                    block = np.pad(block, (0, pull - block.size))
+                if resampler is not None:
+                    block = resampler.process(block)
             except Exception:
                 with self._lock:
                     self._counters["input_callback_error_count"] += 1

@@ -75,3 +75,40 @@ def test_decimate3_streaming():
     t16 = (np.arange(len(y)) - delay) / 16000
     ideal = np.sin(2 * np.pi * 1000 * t16)
     assert np.sqrt(np.mean((y[200:] - ideal[200:]) ** 2)) < 2e-3
+
+
+class TestStreamingResampler:
+    def test_matches_offline_and_chunk_invariant(self, rng):
+        from audioforge_tpu.ops.resample import StreamingResampler, resample
+
+        t = np.arange(44100) / 44100.0
+        x = (0.5 * np.sin(2 * np.pi * 1000 * t)
+             + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+        sr = StreamingResampler(44100, 48000)
+        ys = np.concatenate(
+            [sr.process(x[i:i + 441]) for i in range(0, len(x), 441)]
+        )
+        yo = np.asarray(resample(x, 44100, 48000))
+        n = min(len(ys), len(yo)) - 200
+        assert np.sqrt(np.mean((ys[200:n] - yo[200:n]) ** 2)) < 1e-6
+
+        sr2 = StreamingResampler(44100, 48000)
+        ys2 = np.concatenate([sr2.process(c) for c in np.array_split(x, 173)])
+        m = min(len(ys), len(ys2))
+        np.testing.assert_allclose(ys[:m], ys2[:m], atol=1e-6)
+
+    def test_downsample_antialias(self, rng):
+        from audioforge_tpu.ops.resample import StreamingResampler
+
+        # 30 kHz tone at 96k must not alias into the 48k output
+        t = np.arange(96000) / 96000.0
+        x = np.sin(2 * np.pi * 30000 * t).astype(np.float32)
+        sr = StreamingResampler(96000, 48000)
+        y = sr.process(x)[500:-500]
+        assert np.sqrt(np.mean(y ** 2)) < 1e-3
+
+    def test_invalid_rates(self):
+        from audioforge_tpu.ops.resample import StreamingResampler
+
+        with pytest.raises(ValueError):
+            StreamingResampler(0, 48000)
