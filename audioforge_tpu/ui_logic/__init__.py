@@ -10,6 +10,7 @@ from .config_history import (  # noqa: F401
     changed_configuration_paths,
     explicit_provenance_after_edit,
 )
+from .first_run_setup import FirstRunSetupFlow  # noqa: F401
 from .health import input_health_state, output_health_state  # noqa: F401
 from .rate_limiter import RateLimiter  # noqa: F401
 from .stream_recovery import (  # noqa: F401

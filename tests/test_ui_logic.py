@@ -229,3 +229,69 @@ class TestHealthCheckGates:
         failures = critical_diagnostic_failures(bad, output_underrun_baseline=5)
         assert any("input_dropped_samples=10" in f for f in failures)
         assert any("output_underrun_total=9" in f for f in failures)
+
+
+class TestFirstRunSetupFlow:
+    def test_full_pass_completes(self):
+        from audioforge_tpu.ui_logic import FirstRunSetupFlow
+
+        c = cfg.AppConfig()
+        flow = FirstRunSetupFlow(c)
+        assert c.first_run_setup_state == "in_progress"
+        order = []
+        while not flow.finished:
+            order.append(flow.current_step)
+            flow.complete_step()
+        assert order == ["devices", "route", "latency", "voice"]
+        assert c.first_run_setup_state == "completed"
+
+    def test_skips_terminate_with_skips(self):
+        from audioforge_tpu.ui_logic import FirstRunSetupFlow
+
+        c = cfg.AppConfig()
+        flow = FirstRunSetupFlow(c)
+        flow.complete_step()   # devices
+        flow.skip_step()       # route
+        flow.complete_step()   # latency
+        flow.skip_step()       # voice -> finish
+        assert c.first_run_setup_state == "completed_with_skips"
+
+    def test_resume_reopens_skipped_steps(self):
+        from audioforge_tpu.ui_logic import FirstRunSetupFlow
+
+        c = cfg.AppConfig()
+        flow = FirstRunSetupFlow(c)
+        flow.complete_step()
+        flow.skip_step()
+        flow.complete_step()
+        flow.skip_step()
+        # reopen: only the skipped steps come back as pending
+        flow2 = FirstRunSetupFlow(c)
+        assert flow2.current_step == "route"
+        assert c.first_run_setup_steps["devices"] == "completed"
+        assert c.first_run_setup_steps["route"] == "pending"
+
+    def test_restart_completed_resets_everything(self):
+        from audioforge_tpu.ui_logic import FirstRunSetupFlow
+
+        c = cfg.AppConfig()
+        flow = FirstRunSetupFlow(c)
+        for _ in range(4):
+            flow.complete_step()
+        flow2 = FirstRunSetupFlow(c, restart_completed=True)
+        assert flow2.current_step == "devices"
+        assert all(v == "pending" or v == "completed"
+                   for v in c.first_run_setup_steps.values())
+        assert c.first_run_setup_steps["voice"] == "pending"
+
+    def test_back_navigation(self):
+        from audioforge_tpu.ui_logic import FirstRunSetupFlow
+
+        c = cfg.AppConfig()
+        flow = FirstRunSetupFlow(c)
+        flow.complete_step()
+        assert flow.current_step == "route"
+        flow.go_back()
+        assert flow.current_step == "devices"
+        flow.go_back()  # at the start: no-op
+        assert flow.current_step == "devices"

@@ -1,0 +1,154 @@
+"""Hardware validation record: run the framework's own battery on the
+actual accelerator and gate the release.
+
+Framework re-run of `python/tools/evaluate_hardware_validation.py` adapted
+to the TPU deployment shape: instead of Windows release-artifact routes, the
+gates are (1) the headline full-chain benchmark on the real chip against the
+>=1000x-realtime north star, (2) the loopback probe/capture/correlation
+self-test, and (3) the seeded control/DSP contention run staying finite.
+The sustained host health check is recorded as advisory evidence: the
+engine's per-block Python driver is not realtime on a development host CPU,
+while production serving runs through the batched chain on the accelerator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import platform
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+from _evaluation_common import _REPO_ROOT, utc_now, write_report
+
+SELF_TEST_RESULT = re.compile(
+    r"Self-test PASSED: round trip (?P<latency>[0-9]+\.[0-9]+) ms, "
+    r"confidence (?P<confidence>[0-9]+\.[0-9]+)"
+)
+
+
+def _run(command, timeout=900):
+    proc = subprocess.run(
+        command, cwd=_REPO_ROOT, capture_output=True, text=True,
+        timeout=timeout,
+    )
+    return {
+        "command": " ".join(Path(c).name if "/" in str(c) else str(c)
+                            for c in command),
+        "exit_code": proc.returncode,
+        "stdout_tail": proc.stdout.strip().splitlines()[-3:],
+    }, proc.stdout
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--skip-health", action="store_true")
+    parser.add_argument("--health-duration", type=float, default=20.0)
+    args = parser.parse_args()
+
+    import jax
+
+    runs = {}
+
+    # 1) headline benchmark on the real chip
+    bench_run, bench_out = _run([sys.executable, "bench.py"])
+    runs["bench"] = bench_run
+    bench_json = None
+    for line in bench_out.splitlines():
+        if line.startswith("{"):
+            bench_json = json.loads(line)
+    throughput = float(bench_json["value"]) if bench_json else 0.0
+
+    # 2) loopback self-test
+    st_run, st_out = _run(
+        [sys.executable, "tools/self_test.py", "--duration", "3",
+         "--delay", "0.7"]
+    )
+    runs["self_test"] = st_run
+    st_match = SELF_TEST_RESULT.search(st_out)
+    self_test = {
+        "passed": st_run["exit_code"] == 0 and st_match is not None,
+        "round_trip_ms": float(st_match["latency"]) if st_match else None,
+        "confidence": float(st_match["confidence"]) if st_match else None,
+    }
+
+    # 3) seeded contention stress
+    from audioforge_tpu.runtime.stress_harness import (
+        MAX_OUTPUT_ABS,
+        run_seeded_control_dsp_stress,
+    )
+
+    report_stress = run_seeded_control_dsp_stress(seed=600, iterations=200)
+    stress = {
+        "control_updates": report_stress.control_updates,
+        "processed_blocks": report_stress.processed_blocks,
+        "max_output_abs": report_stress.max_output_abs,
+        "bounded": report_stress.max_output_abs <= MAX_OUTPUT_ABS,
+    }
+
+    # advisory: sustained host health (realtime pacing on the host CPU)
+    health = {"skipped": True}
+    if not args.skip_health:
+        h_run, h_out = _run(
+            [sys.executable, "tools/health_check.py", "--duration",
+             str(args.health_duration), "--warmup", "5"]
+        )
+        health = {
+            "skipped": False,
+            "exit_code": h_run["exit_code"],
+            "summary": h_run["stdout_tail"],
+        }
+
+    gates = {
+        "throughput_min_audio_sec_per_sec": 1000.0,
+        "self_test_min_confidence": 0.5,
+        "stress_max_output_abs": MAX_OUTPUT_ABS,
+    }
+    passed = (
+        throughput >= gates["throughput_min_audio_sec_per_sec"]
+        and self_test["passed"]
+        and (self_test["confidence"] or 0.0)
+        >= gates["self_test_min_confidence"]
+        and stress["bounded"]
+    )
+
+    report = {
+        "schema_version": 1,
+        "generated_at_utc": utc_now(),
+        "environment": {
+            "accelerator": str(jax.devices()[0]),
+            "backend": jax.default_backend(),
+            "python_version": platform.python_version(),
+        },
+        "predefined_gates": gates,
+        "metrics": {
+            "chain_throughput_audio_sec_per_sec": throughput,
+            "bench": bench_json,
+            "self_test": self_test,
+            "stress": stress,
+            "host_health_advisory": health,
+        },
+        "runs": runs,
+        "decision": {
+            "hardware_validation": "pass" if passed else "fail",
+            "reason": (
+                "Throughput, loopback self-test, and contention gates hold "
+                "on the target accelerator."
+                if passed else "A hardware gate failed; see metrics."
+            ),
+        },
+        "limitations": [
+            "Single-chip run; multi-chip sharding validated separately on "
+            "the virtual device mesh.",
+            "Host health is advisory: per-block host pacing is not the "
+            "production serving path.",
+        ],
+    }
+    write_report("hardware-validation-report.json", report)
+    return 0 if passed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
