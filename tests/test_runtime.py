@@ -289,3 +289,43 @@ class TestAudioProcessor:
         p.set_latency_compensation_ms(50.0)
         assert p.get_latency_ms() == pytest.approx(engine + 50.0, abs=1.0)
         p.set_latency_compensation_ms(0.0)
+
+
+class TestPresetIO:
+    def test_apply_and_capture_roundtrip(self, running_processor):
+        import audioforge_tpu.config as cfg
+        from audioforge_tpu.runtime.preset_io import apply_preset, capture_preset
+
+        p, _ = running_processor
+        preset = cfg.BUILTIN_PRESETS["aggressive_denoise"]
+        warning = apply_preset(p, preset)
+        assert warning is None
+        assert p._params["gate_threshold_db"] == -35.0
+        assert p.get_eq_band_params(0)[1] == -6.0
+        captured = capture_preset(p, name="roundtrip")
+        assert captured.gate.threshold_db == -35.0
+        assert captured.eq.band_gains == preset.eq.band_gains
+        assert captured.rnnoise.model == "rnnoise"
+
+    def test_unavailable_model_falls_back(self, running_processor):
+        import audioforge_tpu.config as cfg
+        from audioforge_tpu.runtime.preset_io import apply_preset
+
+        p, _ = running_processor
+        preset = cfg.Preset(name="df")
+        preset.rnnoise.model = "deepfilter"
+        # deepfilter is env-gated off in tests -> falls back with a warning
+        warning = apply_preset(p, preset)
+        assert warning == "deepfilter was unavailable; using RNNoise"
+        assert p.get_noise_model() == "rnnoise"
+
+    def test_require_exact_raises(self, running_processor):
+        import audioforge_tpu.config as cfg
+        import pytest as _pytest
+        from audioforge_tpu.runtime.preset_io import apply_preset
+
+        p, _ = running_processor
+        preset = cfg.Preset(name="df")
+        preset.rnnoise.model = "deepfilter-ll"
+        with _pytest.raises(RuntimeError, match="unavailable"):
+            apply_preset(p, preset, require_exact=True)
