@@ -140,10 +140,30 @@ def init_params(seed: int = 0x4242):
     return p
 
 
+def _validate_loaded(params, reference):
+    """Converted archives must structurally match the framework graph."""
+    missing = set(reference) - set(params)
+    extra = set(params) - set(reference)
+    if missing or extra:
+        raise ValueError(
+            f"weight archive key mismatch: missing={sorted(missing)} "
+            f"extra={sorted(extra)}"
+        )
+    for key, ref in reference.items():
+        if params[key].shape != ref.shape:
+            raise ValueError(
+                f"weight {key!r} shape {params[key].shape} != expected "
+                f"{ref.shape}"
+            )
+    return params
+
+
 def load_weights(path):
-    """Load a converted numpy archive of the published RNNoise weights."""
+    """Load a converted numpy archive of the published RNNoise weights,
+    validated against the framework graph's key/shape contract."""
     data = np.load(path)
-    return {k: jnp.asarray(data[k], jnp.float32) for k in data.files}
+    params = {k: jnp.asarray(data[k], jnp.float32) for k in data.files}
+    return _validate_loaded(params, init_params())
 
 
 def rnnoise_state_init(batch_shape=()):

@@ -106,11 +106,47 @@ def init_params(seed: int = 0x51E0):
     return params
 
 
+def _validate_loaded(params, reference):
+    """Converted archives must structurally match the framework graph."""
+    missing = set(reference) - set(params)
+    extra = set(params) - set(reference)
+    if missing or extra:
+        raise ValueError(
+            f"weight archive key mismatch: missing={sorted(missing)} "
+            f"extra={sorted(extra)}"
+        )
+    for key, ref in reference.items():
+        if params[key].shape != ref.shape:
+            raise ValueError(
+                f"weight {key!r} shape {params[key].shape} != expected "
+                f"{ref.shape}"
+            )
+    return params
+
+
 def load_weights(path):
     """Load converted weights from a ``.npz`` archive (produced offline from
-    the official ONNX release by ``tools/convert_silero_onnx.py``)."""
+    the official ONNX release by ``tools/convert_model_weights.py``),
+    validated against the framework graph's key/shape contract."""
     data = np.load(path)
-    return {k: jnp.asarray(data[k], jnp.float32) for k in data.files}
+    params = {k: jnp.asarray(data[k], jnp.float32) for k in data.files}
+    return _validate_loaded(params, init_params())
+
+
+def discover_model_path():
+    """Weight-archive discovery mirroring the reference's model lookup
+    (`vad.rs:133-184`): ``VAD_MODEL_PATH`` env first, then ``models/`` next
+    to the package root. Returns None when nothing is found."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("VAD_MODEL_PATH")
+    if env and Path(env).is_file():
+        return Path(env)
+    candidate = (
+        Path(__file__).resolve().parents[2] / "models" / "silero_vad.npz"
+    )
+    return candidate if candidate.is_file() else None
 
 
 def _stft_mag(x):
