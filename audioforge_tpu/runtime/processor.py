@@ -64,6 +64,11 @@ INPUT_BACKLOG_KEEP_MS = 100.0
 IDLE_SLEEP_MIN_US = 100.0  # `processor.rs:54-56`
 IDLE_SLEEP_MAX_US = 1600.0
 GR_HISTORY_BLOCKS = 100  # 1 s of 10 ms blocks for GR history telemetry
+# suppressor in-band failure policy (`dsp_loop.rs:570-577,1554-1641`)
+SUPPRESSOR_NONFINITE_EVENTS_FOR_RESET = 3
+SUPPRESSOR_NONFINITE_WINDOW_S = 2.0
+SUPPRESSOR_STARVATION_S = 0.4
+SUPPRESSOR_RESET_COOLDOWN_S = 2.0
 
 _INPUT_CHANNEL_MODES = ("average", "left", "right", "max_rms", "phase_safe_mono")
 _CLEANUP_MODES = ("off", "gentle", "strong")
@@ -417,6 +422,10 @@ class AudioProcessor:
                     target=self._dsp_loop, name="afx-dsp", daemon=True
                 ),
                 threading.Thread(
+                    target=self._supervisor_loop, name="afx-supervisor",
+                    daemon=True,
+                ),
+                threading.Thread(
                     target=self._input_loop, args=(source, in_rate),
                     name="afx-input", daemon=True,
                 ),
@@ -582,6 +591,27 @@ class AudioProcessor:
                 else:
                     next_at = time.perf_counter()
 
+    def _supervisor_loop(self):
+        """Watchdog standing in for the reference supervisor + UI poller
+        (`supervisor.rs`, `ui/stream_recovery.py`): watches callback ages
+        through the stall heuristics and flags recovery; the next
+        ``service_recovery()`` call performs the restart."""
+        from ..ui_logic.stream_recovery import StreamRecoveryManager
+
+        manager = StreamRecoveryManager()
+        manager.mark_processing_started()
+        while not self._stop_event.is_set():
+            time.sleep(0.5)
+            if self._stop_event.is_set():
+                break
+            should = manager.maybe_recover_callback_stall(
+                input_cb_age_ms=self.get_input_callback_age_ms(),
+                output_cb_age_ms=self.get_output_callback_age_ms(),
+                calibration_dialog_open=self._recording is not None,
+            )
+            if should and not self._recovery_suppressed:
+                self.request_recovery("output callback stall")
+
     def _vad_loop(self):
         """Silero worker at window cadence (`processor/vad_worker.rs`)."""
         state = silero.vad_stream_init(SAMPLE_RATE)
@@ -688,6 +718,9 @@ class AudioProcessor:
             topo["noise_model"], par["suppressor_strength"]
         )
         supp_delay = np.zeros(engine["latency_samples"], np.float32)
+        self._suppressor_guard = {
+            "nonfinite_events": [], "last_output_at": 0.0, "last_reset_at": 0.0
+        }
         gr_hist = [0.0] * GR_HISTORY_BLOCKS
         tp_hist = [0.0] * GR_HISTORY_BLOCKS
         idle_us = IDLE_SLEEP_MIN_US
@@ -837,18 +870,50 @@ class AudioProcessor:
             engine, _ = supp.engine_push(engine, y_np)
             engine, _ = supp.engine_process(engine)
             engine, out = supp.engine_pop(engine, BLOCK)
+            now = time.perf_counter()
+            guard = self._suppressor_guard
             if out.size < BLOCK:
+                # starvation: a staged engine that stops producing for
+                # 400 ms gets a soft reset, 2 s cooldown
+                # (`dsp_loop.rs:1554-1589`)
+                if guard["last_output_at"] == 0.0:
+                    guard["last_output_at"] = now
+                if (now - guard["last_output_at"] > SUPPRESSOR_STARVATION_S
+                        and now - guard["last_reset_at"]
+                        > SUPPRESSOR_RESET_COOLDOWN_S):
+                    engine = supp.engine_soft_reset(engine)
+                    guard["last_reset_at"] = now
+                    guard["last_output_at"] = now
+                    with self._lock:
+                        self._counters["output_recovery_event_count"] += 1
                 out = np.concatenate(
                     [np.zeros(BLOCK - out.size, np.float32), out]
                 )
+            else:
+                guard["last_output_at"] = now
             bad = ~np.isfinite(out)
             if bad.any():
-                # non-finite scrub (`dsp_loop.rs:1601-1641`)
+                # non-finite scrub + windowed rebuild: 3 events in 2 s
+                # trigger a soft reset (`dsp_loop.rs:570-577,1601-1641`)
                 out = np.where(bad, 0.0, out)
+                guard["nonfinite_events"].append(now)
+                guard["nonfinite_events"] = [
+                    t for t in guard["nonfinite_events"]
+                    if now - t <= SUPPRESSOR_NONFINITE_WINDOW_S
+                ]
                 with self._lock:
                     self._counters["suppressor_non_finite_count"] += int(
                         bad.sum()
                     )
+                if (len(guard["nonfinite_events"])
+                        >= SUPPRESSOR_NONFINITE_EVENTS_FOR_RESET
+                        and now - guard["last_reset_at"]
+                        > SUPPRESSOR_RESET_COOLDOWN_S):
+                    engine = supp.engine_soft_reset(engine)
+                    guard["last_reset_at"] = now
+                    guard["nonfinite_events"] = []
+                    with self._lock:
+                        self._counters["output_recovery_count"] += 1
             y_np = out
         else:
             # keep chain latency constant when the suppressor is off
