@@ -273,3 +273,46 @@ def test_vad_gate_speech_not_in_floor():
     st, outs = _run_gate_blocks(cfg, st, [-20.0] * 100, [0.95] * 100)
     floor_after = float(outs[-1]["noise_floor_db"])
     assert abs(floor_after - floor_before) < 0.5
+
+
+class TestDeepFilterOptIn:
+    def test_engine_env_gated(self, monkeypatch):
+        from audioforge_tpu.models import suppressor as supp
+
+        monkeypatch.delenv("AUDIOFORGE_ENABLE_DEEPFILTER", raising=False)
+        eng = supp.engine_init("deepfilter-ll")
+        assert eng["backend_available"] is False
+        # passthrough preserves the model's latency
+        x = np.full(960, 0.25, np.float32)
+        eng, _ = supp.engine_push(eng, x)
+        eng, _ = supp.engine_process(eng)
+        eng, out = supp.engine_pop(eng, 960)
+        assert out.size == 960
+        assert np.all(out[: eng["latency_samples"]] == 0.0)
+
+    def test_engine_processes_when_enabled(self, monkeypatch, rng):
+        from audioforge_tpu.models import suppressor as supp
+
+        monkeypatch.setenv("AUDIOFORGE_ENABLE_DEEPFILTER", "1")
+        eng = supp.engine_init("deepfilter-ll")
+        assert eng["backend_available"] is True
+        x = (0.1 * rng.standard_normal(1920)).astype(np.float32)
+        eng, _ = supp.engine_push(eng, x)
+        eng, n = supp.engine_process(eng)
+        assert n > 0
+        eng, out = supp.engine_pop(eng, 1920)
+        assert np.all(np.isfinite(out))
+        d = supp.engine_diagnostics(eng)
+        assert d["model"] == "deepfilter-ll"
+        assert not d["backend_failed"]
+
+    def test_processor_model_switch_gated(self, monkeypatch):
+        from audioforge_tpu.runtime.processor import AudioProcessor
+
+        p = AudioProcessor()
+        monkeypatch.delenv("AUDIOFORGE_ENABLE_DEEPFILTER", raising=False)
+        assert p.set_noise_model("deepfilter") is False
+        monkeypatch.setenv("AUDIOFORGE_ENABLE_DEEPFILTER", "1")
+        assert p.set_noise_model("deepfilter") is True
+        assert p.get_noise_model() == "deepfilter"
+        assert ("deepfilter", "DeepFilterNet3") in p.list_noise_models()
