@@ -496,6 +496,10 @@ class AudioProcessor:
         non-48k devices are resampled on ingest (`dsp_loop.rs:960-1025`)."""
         from ..ops.resample import StreamingResampler
 
+        # hold until the DSP step has compiled — otherwise the warm-up
+        # minute floods the ring with drops that look like runtime faults
+        self._dsp_ready.wait(timeout=300.0)
+
         # pull device-rate-sized chunks covering one 10 ms engine block
         pull = max(1, int(round(BLOCK * device_rate / SAMPLE_RATE)))
         resampler = (
