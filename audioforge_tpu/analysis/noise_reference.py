@@ -18,7 +18,7 @@ Behavioural contract mirrors `python/mic_eq/analysis/noise_reference.py`:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Mapping
 
 import numpy as np

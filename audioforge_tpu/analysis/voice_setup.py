@@ -27,7 +27,7 @@ reference's 68 serial native calls into ~3 vmapped device calls.
 from __future__ import annotations
 
 import time
-from typing import Any, Mapping
+from typing import Any
 
 import numpy as np
 from scipy.signal import lfilter, resample_poly
@@ -42,7 +42,7 @@ from .deesser_fusion import (
     predict_frame_probabilities,
 )
 from .headroom import simulate_candidate_chain
-from .noise_reference import MIN_NOISE_DURATION_S, CaptureMetadata, analyze_noise_reference
+from .noise_reference import MIN_NOISE_DURATION_S, analyze_noise_reference
 from .spectrum import (
     VAD_SPEECH_EVIDENCE_THRESHOLD,
     VAD_STRONG_SPEECH_THRESHOLD,

@@ -27,8 +27,6 @@ evaluation corpus clips) denoises in ONE device call per frame step.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -32,7 +32,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import scan as scan_ops
 from . import util

@@ -25,7 +25,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
-import numpy as np
 
 from . import util
 from .scan import max_affine_scan, sliding_window_max

@@ -39,8 +39,6 @@ All scans run over the LAST axis; leading axes are batch.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -43,7 +43,7 @@ from ..ops import loudness as loud_ops
 from ..ops import routing as route_ops
 from ..ops import true_peak as tp_ops
 from ..ops import util
-from .chain import CAREFUL_OUTPUT_CEILING_DB, effective_limiter_ceiling_db
+from .chain import effective_limiter_ceiling_db
 
 __all__ = [
     "LiveChainConfig",

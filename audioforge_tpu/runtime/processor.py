@@ -42,7 +42,6 @@ from ..models import suppressor as supp
 from ..ops import gate as gate_ops
 from ..ops import mixdown as mixdown_ops
 from ..ops import eq as eq_ops
-from ..ops import util
 from . import live_chain as lc
 from .output_writer import OutputWriteController
 from .ringbuffer import AudioRing
