@@ -123,14 +123,23 @@ def noise_floor_reliability(state):
 
 @partial(jax.jit, static_argnames=("config", "block_samples"))
 def vad_gate_process(config: VadGateConfig, state, rms_db, probability,
-                     probability_available, block_samples: int):
+                     probability_available, block_samples: int, params=None):
     """One control-block update.
 
     ``rms_db``: block RMS in dBFS (per stream); ``probability``: external
     worker posterior (clamped), ``probability_available``: freshness flag.
     Returns ``(new_state, outputs)`` where outputs carry
     {gate_open, probability, threshold_db, noise_floor_db, reliability}.
+    ``params`` may carry traced overrides for the continuous knobs
+    {vad_threshold, margin_db, hold_time_ms} so live edits never recompile.
     """
+    vad_threshold = config.vad_threshold
+    margin_db = config.margin_db
+    hold_time_ms = config.hold_time_ms
+    if params is not None:
+        vad_threshold = params.get("vad_threshold", vad_threshold)
+        margin_db = params.get("margin_db", margin_db)
+        hold_time_ms = params.get("hold_time_ms", hold_time_ms)
     if not config.enabled:
         out = {
             "gate_open": jnp.zeros_like(state["prev_gate_open"]),
@@ -193,7 +202,7 @@ def vad_gate_process(config: VadGateConfig, state, rms_db, probability,
     # ---- threshold + raw open decision (`vad.rs:855-929`)
     if config.auto_threshold_enabled:
         threshold = jnp.clip(
-            new_floor + config.margin_db, config.min_threshold_db, config.max_threshold_db
+            new_floor + margin_db, config.min_threshold_db, config.max_threshold_db
         )
     else:
         threshold = jnp.full_like(
@@ -207,7 +216,7 @@ def vad_gate_process(config: VadGateConfig, state, rms_db, probability,
             ),
         )
     level_open = rms_db >= threshold
-    vad_speech = prob > config.vad_threshold
+    vad_speech = prob > vad_threshold
     if config.gate_mode == THRESHOLD_ONLY:
         gate_open = level_open
     elif config.gate_mode == VAD_ASSISTED:
@@ -221,7 +230,7 @@ def vad_gate_process(config: VadGateConfig, state, rms_db, probability,
     debounce_ready = state["closed_counter"] >= debounce_samples
     debounced = jnp.where(rising & ~debounce_ready, False, gate_open)
 
-    hold_samples = config.hold_time_ms / 1000.0 * config.sample_rate
+    hold_samples = hold_time_ms / 1000.0 * config.sample_rate
     hold_timer = jnp.where(debounced, hold_samples, state["hold_timer"])
     timer_running = jnp.where(debounced, True, state["timer_running"])
     closed_counter = jnp.where(

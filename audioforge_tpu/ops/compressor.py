@@ -297,13 +297,16 @@ def make_sample_step(config: CompressorConfig, params, makeup_lin):
         peak_c = jnp.where(inst_peak_db > s["peak_envelope_db"], params["attack_coeff"], base_rel_c)
         peak_env = peak_c * s["peak_envelope_db"] + (1 - peak_c) * inst_peak_db
         rms_env = rms_c * s["rms_envelope_sq"] + (1 - rms_c) * det_in * det_in
-        rms_db = util.linear_to_db(jnp.maximum(jnp.sqrt(rms_env), 1e-10), -200.0)
+        # blend in the linear domain without the RMS dB round-trip:
+        # 10^(20*log10(sqrt(rms))/20) == sqrt(rms); and folding det_weight
+        # into the argument saves one log10 — exact same math per sample
         blended = (
             DETECTOR_PEAK_WEIGHT * jnp.power(10.0, peak_env / 20.0)
-            + DETECTOR_RMS_WEIGHT * jnp.power(10.0, rms_db / 20.0)
+            + DETECTOR_RMS_WEIGHT * jnp.maximum(jnp.sqrt(rms_env), 1e-10)
         )
-        detector_db = util.linear_to_db(jnp.maximum(blended, 1e-10), -200.0) + util.linear_to_db(
-            jnp.maximum(det_weight, 1e-10), -200.0
+        detector_db = util.linear_to_db(
+            jnp.maximum(blended, 1e-10) * jnp.maximum(det_weight, 1e-10),
+            -200.0,
         )
 
         # ---- adaptive release meter (`compressor.rs:462-477`)

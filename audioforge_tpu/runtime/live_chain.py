@@ -75,11 +75,6 @@ class LiveChainConfig:
     sidechain_highpass_enabled: bool = True
     limiter_enabled: bool = True
     careful_output_enabled: bool = True
-    # block-cadence VAD controller knobs: static because they set sample
-    # counters / histogram windows inside the controller (rare edits)
-    vad_threshold: float = 0.48
-    vad_hold_time_ms: float = 200.0
-    gate_margin_db: float = 10.0
     deesser: des_ops.DeEsserConfig = field(
         default_factory=des_ops.DeEsserConfig
     )
@@ -103,9 +98,6 @@ class LiveChainConfig:
         return vadm.VadGateConfig(
             sample_rate=int(self.sample_rate),
             gate_mode=self.gate_mode,
-            vad_threshold=self.vad_threshold,
-            margin_db=self.gate_margin_db,
-            hold_time_ms=self.vad_hold_time_ms,
             auto_threshold_enabled=self.auto_threshold_enabled,
             enabled=self.gate_enabled,
         )
@@ -139,6 +131,8 @@ def live_params(
     gate_attack_ms: float = 10.0,
     gate_release_ms: float = 100.0,
     vad_threshold: float = 0.48,
+    vad_hold_time_ms: float = 200.0,
+    gate_margin_db: float = 10.0,
     compressor_threshold_db: float = -20.0,
     compressor_ratio: float = 4.0,
     compressor_attack_ms: float = 10.0,
@@ -162,6 +156,11 @@ def live_params(
             release_ms=gate_release_ms,
         ),
         "vad_threshold": jnp.float32(vad_threshold),
+        "vad_gate": {
+            "vad_threshold": jnp.float32(vad_threshold),
+            "margin_db": jnp.float32(gate_margin_db),
+            "hold_time_ms": jnp.float32(vad_hold_time_ms),
+        },
         "compressor": comp_ops.compressor_params(
             config.compressor,
             threshold_db=compressor_threshold_db,
@@ -237,7 +236,7 @@ def front_block(config: LiveChainConfig, params, state, x,
     rms_db = vadm.compute_rms_db(y)
     new_state["vad"], vout = vadm.vad_gate_process(
         config.vad, state["vad"], rms_db, vad_probability, vad_available,
-        BLOCK_SAMPLES,
+        BLOCK_SAMPLES, params=params["vad_gate"],
     )
 
     gate_params = dict(params["gate"])

@@ -666,9 +666,6 @@ class AudioProcessor:
             sidechain_highpass_enabled=topo["sidechain_highpass_enabled"],
             limiter_enabled=topo["limiter_enabled"],
             careful_output_enabled=topo["careful_output_enabled"],
-            vad_threshold=par["vad_threshold"],
-            vad_hold_time_ms=par["vad_hold_time_ms"],
-            gate_margin_db=par["gate_margin_db"],
             deesser=dee_cfg,
         )
         return config
@@ -691,6 +688,8 @@ class AudioProcessor:
             gate_attack_ms=par["gate_attack_ms"],
             gate_release_ms=par["gate_release_ms"],
             vad_threshold=par["vad_threshold"],
+            vad_hold_time_ms=par["vad_hold_time_ms"],
+            gate_margin_db=par["gate_margin_db"],
             compressor_threshold_db=par["compressor_threshold_db"],
             compressor_ratio=par["compressor_ratio"],
             compressor_attack_ms=par["compressor_attack_ms"],
