@@ -332,7 +332,12 @@ def make_sample_step(config: CompressorConfig, params, makeup_lin):
             rel_smooth_c * s["current_release_ms"] + (1 - rel_smooth_c) * target_rel_ms,
             target_rel_ms,
         )
-        rel_c = jnp.exp(-1000.0 / (jnp.maximum(cur_rel_ms, 1e-6) * fs))
+        # exp(x) for x in [-4.2e-4, 0) (release 50..400 ms at 48 kHz):
+        # the 2nd-order Taylor differs from exp by ~x^3/6 < 2e-11 — below
+        # f32 resolution, so this is exact at f32 and skips a per-sample
+        # transcendental
+        rx = -1000.0 / (jnp.maximum(cur_rel_ms, 1e-6) * fs)
+        rel_c = 1.0 + rx + 0.5 * rx * rx
 
         # ---- static curve + GR smoothing (`compressor.rs:479-515,773-775`)
         target_gr = _compute_gain_reduction(params, detector_db)
