@@ -479,11 +479,24 @@ class AudioProcessor:
     def output_sample_rate(self) -> int:
         return SAMPLE_RATE
 
+    @staticmethod
+    def _fixed_buffer_frames(env_name: str) -> int:
+        """Env-overridable callback buffer size, preflight-clamped to
+        16..8192 (`input.rs:281-347`)."""
+        import os
+
+        raw = os.environ.get(env_name, "")
+        try:
+            frames = int(raw)
+        except ValueError:
+            return BLOCK
+        return min(max(frames, 16), 8192)
+
     def input_fixed_buffer_frames(self) -> int:
-        return BLOCK
+        return self._fixed_buffer_frames("AUDIOFORGE_FIXED_INPUT_BUFFER_FRAMES")
 
     def output_fixed_buffer_frames(self) -> int:
-        return BLOCK
+        return self._fixed_buffer_frames("AUDIOFORGE_FIXED_OUTPUT_BUFFER_FRAMES")
 
     # ---- engine threads -------------------------------------------------
 
@@ -707,7 +720,7 @@ class AudioProcessor:
             self._dsp_loop_inner()
         except Exception as exc:  # noqa: BLE001 — RT thread must not die silently
             with self._lock:
-                self._counters["rt_error_code"] = 1
+                self._counters["rt_error_code"] = 4  # processor_unavailable
                 self._recovery["last_error"] = str(exc)
             self.request_recovery(f"dsp thread error: {exc}")
             self._dsp_ready.set()
@@ -907,6 +920,7 @@ class AudioProcessor:
                     self._counters["suppressor_non_finite_count"] += int(
                         bad.sum()
                     )
+                    self._counters["rt_error_code"] = 3  # non_finite
                 if (len(guard["nonfinite_events"])
                         >= SUPPRESSOR_NONFINITE_EVENTS_FOR_RESET
                         and now - guard["last_reset_at"]
@@ -1587,8 +1601,19 @@ class AudioProcessor:
     def get_rt_error_code(self) -> int:
         return int(self._counters["rt_error_code"])
 
+    _RT_ERROR_NAMES = {
+        0: "none",
+        1: "input_queue_full",
+        2: "output_queue_full",
+        3: "non_finite",
+        4: "processor_unavailable",
+    }
+
     def get_rt_error_name(self) -> str:
-        return "none" if self._counters["rt_error_code"] == 0 else "rt_error"
+        """Single-word RT error channel names (`rt.rs:11-50`)."""
+        return self._RT_ERROR_NAMES.get(
+            int(self._counters["rt_error_code"]), "processor_unavailable"
+        )
 
     def get_input_callback_error_count(self) -> int:
         return int(self._counters["input_callback_error_count"])
