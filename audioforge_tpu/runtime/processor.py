@@ -507,10 +507,21 @@ class AudioProcessor:
         channel mixdown (`input.rs:136-177`, including phase-safe mono);
         non-48k devices are resampled on ingest (`dsp_loop.rs:960-1025`)."""
         from ..ops.resample import StreamingResampler
+        from .ingest import NativeIngest, native_ingest_available
 
         # hold until the DSP step has compiled — otherwise the warm-up
         # minute floods the ring with drops that look like runtime faults
         self._dsp_ready.wait(timeout=300.0)
+
+        # Native fast path: mixdown + resample + ring write in one C call
+        # per callback (phase-safe mono keeps the Python kernel — its
+        # delay-scan state is block-adaptive). Falls back transparently.
+        native = None
+        native_channels = None
+        if (native_ingest_available()
+                and self._input_channel_mode != "phase_safe_mono"
+                and hasattr(self._in_ring, "_handle")):
+            native = {"mode": self._input_channel_mode}
 
         # pull device-rate-sized chunks covering one 10 ms engine block
         pull = max(1, int(round(BLOCK * device_rate / SAMPLE_RATE)))
@@ -524,6 +535,29 @@ class AudioProcessor:
         while not self._stop_event.is_set():
             try:
                 raw = np.asarray(source(pull), np.float32)
+                if native is not None:
+                    channels = raw.shape[1] if raw.ndim == 2 else 1
+                    if (native.get("pipe") is None
+                            or native_channels != channels):
+                        native["pipe"] = NativeIngest(
+                            self._in_ring, channels, native["mode"],
+                            device_rate,
+                        )
+                        native_channels = channels
+                    frames = raw if raw.ndim == 2 else raw[:pull]
+                    native["pipe"].push(frames[:pull])
+                    with self._lock:
+                        self._counters["input_callback_at"] = (
+                            time.perf_counter()
+                        )
+                    if self.realtime_pacing:
+                        next_at += period
+                        delay = next_at - time.perf_counter()
+                        if delay > 0:
+                            time.sleep(delay)
+                        else:
+                            next_at = time.perf_counter()
+                    continue
                 if raw.ndim == 2:
                     if raw.shape[0] == 2 and raw.shape[1] != 2:
                         left, right = raw[0], raw[1]

@@ -26,23 +26,24 @@ _LIB_LOCK = threading.Lock()
 _NATIVE_DISABLED = os.environ.get("AUDIOFORGE_TPU_DISABLE_NATIVE", "") == "1"
 
 
-def _native_source() -> Path:
-    return Path(__file__).resolve().parents[2] / "native" / "ringbuffer.cpp"
+def _native_sources() -> list[Path]:
+    base = Path(__file__).resolve().parents[2] / "native"
+    return [base / "ringbuffer.cpp", base / "ingest.cpp"]
 
 
 def _build_and_load():
-    source = _native_source()
-    if not source.exists():
+    sources = [p for p in _native_sources() if p.exists()]
+    if not sources:
         return None
     cache_dir = Path(tempfile.gettempdir()) / "afx_native"
     cache_dir.mkdir(parents=True, exist_ok=True)
-    stamp = int(source.stat().st_mtime)
+    stamp = max(int(p.stat().st_mtime) for p in sources)
     lib_path = cache_dir / f"libafxring_{stamp}.so"
     if not lib_path.exists():
         tmp = lib_path.with_suffix(f".{os.getpid()}.tmp.so")
         cmd = [
             "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-            str(source), "-o", str(tmp),
+            *[str(p) for p in sources], "-o", str(tmp),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)

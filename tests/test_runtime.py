@@ -329,3 +329,53 @@ class TestPresetIO:
         preset.rnnoise.model = "deepfilter-ll"
         with _pytest.raises(RuntimeError, match="unavailable"):
             apply_preset(p, preset, require_exact=True)
+
+
+class TestNativeIngest:
+    def test_matches_python_resampler(self, rng):
+        from audioforge_tpu.runtime.ingest import (
+            NativeIngest,
+            native_ingest_available,
+        )
+        from audioforge_tpu.ops.resample import StreamingResampler
+
+        if not native_ingest_available():
+            pytest.skip("native toolchain unavailable")
+        ring = AudioRing(1 << 18)
+        ing = NativeIngest(ring, channels=2, mix_mode="average",
+                           device_rate=44100)
+        t = np.arange(44100) / 44100.0
+        mono = (0.5 * np.sin(2 * np.pi * 1000 * t)
+                + 0.05 * rng.standard_normal(44100)).astype(np.float32)
+        stereo = np.stack([mono, mono], axis=1)
+        total = 0
+        for i in range(0, 44100, 441):
+            total += ing.push(stereo[i:i + 441])
+        y_native = ring.read(total)
+        sr = StreamingResampler(44100, 48000, sinc_len=128)
+        y_py = np.concatenate(
+            [sr.process(mono[i:i + 441]) for i in range(0, 44100, 441)]
+        )
+        n = min(len(y_native), len(y_py))
+        assert np.sqrt(np.mean((y_native[200:n] - y_py[200:n]) ** 2)) < 1e-6
+
+    def test_passthrough_and_modes(self, rng):
+        from audioforge_tpu.runtime.ingest import (
+            NativeIngest,
+            native_ingest_available,
+        )
+
+        if not native_ingest_available():
+            pytest.skip("native toolchain unavailable")
+        left = (0.3 * rng.standard_normal(960)).astype(np.float32)
+        right = (0.1 * rng.standard_normal(960)).astype(np.float32)
+        stereo = np.stack([left, right], axis=1)
+        for mode, expected in (
+            ("left", left), ("right", right),
+            ("average", 0.5 * (left + right)), ("max_rms", left),
+        ):
+            ring = AudioRing(4096)
+            ing = NativeIngest(ring, channels=2, mix_mode=mode,
+                               device_rate=48000)
+            w = ing.push(stereo)
+            np.testing.assert_allclose(ring.read(w), expected, atol=1e-6)
