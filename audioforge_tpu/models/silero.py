@@ -308,21 +308,35 @@ def analyze_vad_probabilities(audio, sample_rate, threshold=0.48, params=None):
         x16 = padded
     windows = x16.reshape(n_windows, WINDOW_SIZE)
 
-    # sequential over windows (stateful LSTM), batched-ready via vmap in the
-    # calibration layer; windows chain context exactly like streaming
-    ctx = np.zeros(CONTEXT_SIZE, np.float32)
-    lstm = jnp.zeros((_N_LAYERS, 1, _STATE_DIM), jnp.float32)
-    probs = []
-    smoothed = 0.0
-    has = False
-    for i in range(n_windows):
-        model_in = jnp.asarray(
-            np.concatenate([ctx, windows[i]])[None, :], jnp.float32
-        )
+    # context is the previous window's tail, known up front — only the
+    # LSTM state chains, so the whole take runs as ONE lax.scan device call
+    # (the reference loops windows through ONNX Runtime serially,
+    # `python_api.rs:749-790`)
+    ctx0 = np.zeros((1, CONTEXT_SIZE), np.float32)
+    contexts = np.concatenate(
+        [ctx0, windows[:-1, WINDOW_SIZE - CONTEXT_SIZE:]], axis=0
+    )
+    model_ins = jnp.asarray(
+        np.concatenate([contexts, windows], axis=1)[:, None, :], jnp.float32
+    )  # (n_windows, 1, 576)
+    probs = np.asarray(_offline_windows(params, model_ins))
+    return [float(v) for v in probs]
+
+
+@jax.jit
+def _offline_windows(params, model_ins):
+    """Scan the stateful model over pre-built windows; applies the 0.5
+    smoothing EMA and Platt calibration per window."""
+    lstm0 = jnp.zeros((_N_LAYERS, 1, _STATE_DIM), jnp.float32)
+
+    def body(carry, model_in):
+        lstm, smoothed, has = carry
         p, lstm = silero_infer(params, model_in, lstm)
-        p = float(jnp.clip(p[0], 0.0, 1.0))
-        smoothed = 0.5 * p + 0.5 * smoothed if has else p
-        has = True
-        probs.append(float(calibrate_probability(jnp.float32(smoothed))))
-        ctx = windows[i][WINDOW_SIZE - CONTEXT_SIZE:]
-    return probs
+        p = jnp.clip(p[0], 0.0, 1.0)
+        smoothed = jnp.where(has, 0.5 * p + 0.5 * smoothed, p)
+        return (lstm, smoothed, jnp.bool_(True)), calibrate_probability(smoothed)
+
+    _, out = jax.lax.scan(
+        body, (lstm0, jnp.float32(0.0), jnp.bool_(False)), model_ins
+    )
+    return out
