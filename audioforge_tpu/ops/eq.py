@@ -252,6 +252,12 @@ def eq_process(state, x):
     run plain f32 (measured: plain-f32 blocked scan errs 1.9e-4 for an
     80 Hz shelf but <1e-6 for mid/high sections). Returns
     ``(new_state, y)``.
+
+    Known limitation: the live split is by band INDEX (the scan kernels are
+    chosen at trace time), so retuning a band >= index 3 below ~300 Hz at
+    high Q runs it in plain f32 (~1e-3 worst case vs the reference's f64).
+    The offline path has no such hole — :func:`compact_cascade` classifies
+    per designed coefficient (:func:`_needs_df32`).
     """
 
     def body_df32(carry, section_state):
