@@ -628,6 +628,9 @@ class AudioProcessor:
             last_sample = float(block[-1]) if block.size else last_sample
             if muted:
                 block = np.zeros_like(block)
+            # calibration probes render post-mute, like the reference's
+            # output-callback probe path (`output.rs:322-346`)
+            block = self._mix_probe(np.asarray(block, np.float32))
             try:
                 sink(block)
             except Exception:
@@ -867,7 +870,6 @@ class AudioProcessor:
                 state, y, engine, supp_delay = self._process_block(
                     config, params, state, x, engine, supp_delay, topo
                 )
-            y = self._mix_probe(np.asarray(y, np.float32))
             dsp_ms = (time.perf_counter() - started) * 1e3
             smoothed_dsp_ms = 0.9 * smoothed_dsp_ms + 0.1 * dsp_ms
 
@@ -1225,7 +1227,13 @@ class AudioProcessor:
         return self._topology["noise_model"]
 
     def get_noise_model_display_name(self) -> str:
-        return dict(self.list_noise_models())[self._topology["noise_model"]]
+        names = dict(self.list_noise_models())
+        model = self._topology["noise_model"]
+        # a model selected while its env gate was on stays displayable
+        # even if the gate flips off afterwards
+        fallback = {"deepfilter-ll": "DeepFilterNet3 (low latency)",
+                    "deepfilter": "DeepFilterNet3"}
+        return names.get(model, fallback.get(model, model))
 
     def list_noise_models(self):
         """`python_api.rs:1081`: (id, display name) pairs."""

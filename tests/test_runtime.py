@@ -379,3 +379,41 @@ class TestNativeIngest:
                                device_rate=48000)
             w = ing.push(stereo)
             np.testing.assert_allclose(ring.read(w), expected, atol=1e-6)
+
+
+class TestLoopbackLatency:
+    def test_probe_round_trip_measures_loopback_delay(self):
+        """End-to-end latency: the packaged self-test flow over a
+        sample-exact loopback must succeed and measure at least the
+        configured ring delay."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        from self_test import _LoopbackBus, run_attempt
+
+        DELAY_MS = 80.0
+        bus = _LoopbackBus(DELAY_MS)
+        register_virtual_input("lat-in2", lambda: bus.source)
+        register_virtual_output("lat-out2", lambda: bus.sink)
+
+        p = AudioProcessor()
+        p.set_bypass(True)
+        p.start("lat-in2", "lat-out2")
+        try:
+            result = run_attempt(
+                p, duration=3.0, delay=0.7, probe_duration_ms=450.0,
+                expected_min_ms=5.0, expected_max_ms=1500.0,
+            )
+        finally:
+            p.stop()
+        assert result.success, result.message
+        assert result.confidence > 0.5
+        assert result.round_trip_ms >= DELAY_MS - 5.0
+
+
+def _read_padded(ring, n):
+    out = ring.read(n)
+    if out.size < n:
+        out = np.concatenate([out, np.zeros(n - out.size, np.float32)])
+    return out

@@ -41,18 +41,23 @@ class SelfTestAttempt:
 
 
 class _LoopbackBus:
-    """Output → input delay line shared by the loopback pair."""
+    """Output → input delay line shared by the loopback pair.
 
-    def __init__(self, delay_ms: float):
+    ``loop_gain`` < 1 makes re-circulated echoes decay (a unity loop echoes
+    the probe forever and the analyzer correctly rejects the measurement as
+    ambiguous)."""
+
+    def __init__(self, delay_ms: float, loop_gain: float = 0.35):
         from audioforge_tpu.runtime.ringbuffer import AudioRing
 
         self._ring = AudioRing(SAMPLE_RATE * 4)
         # pre-charge the line with silence = the loop delay
         self._ring.write(np.zeros(int(delay_ms / 1e3 * SAMPLE_RATE), np.float32))
+        self._gain = float(loop_gain)
         self._lock = threading.Lock()
 
     def sink(self, block: np.ndarray) -> None:
-        self._ring.write(np.asarray(block, np.float32))
+        self._ring.write(np.asarray(block, np.float32) * self._gain)
 
     def source(self, n: int) -> np.ndarray:
         out = self._ring.read(n)
@@ -72,6 +77,10 @@ def run_attempt(processor, *, duration: float, delay: float,
     probe = generate_probe_signal(
         sample_rate=SAMPLE_RATE, duration_ms=probe_duration_ms
     )
+    # mute the engine path: the probe renders post-mute in the output
+    # callback, so the loop carries exactly one clean probe instead of an
+    # ambiguous echo train
+    processor.set_output_mute(True)
     processor.start_raw_recording(duration)
     start = time.time()
     played = False
@@ -89,6 +98,7 @@ def run_attempt(processor, *, duration: float, delay: float,
     while not processor.is_recording_complete() and time.time() < deadline:
         time.sleep(0.05)
     captured = np.asarray(processor.stop_raw_recording(), np.float32)
+    processor.set_output_mute(False)
     if not played or not processor.is_output_probe_complete():
         return SelfTestAttempt(0.0, 0.0, "probe was not played", False)
     if captured.size == 0:
