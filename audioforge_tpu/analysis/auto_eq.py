@@ -69,6 +69,7 @@ GLOBAL_CAPTURE_CONFIDENCE_THRESHOLD = 0.35
 REDUCED_RECOMMENDATION_CONFIDENCE_THRESHOLD = 0.725
 
 __all__ = [
+    "AnalysisCancelled",
     "predict_eq_response",
     "get_target_curve",
     "calculate_eq_bands",
@@ -77,6 +78,11 @@ __all__ = [
     "GAIN_MIN_DB",
     "GAIN_MAX_DB",
 ]
+
+
+class AnalysisCancelled(Exception):
+    """Raised when a progress callback requests cancellation
+    (the reference worker's stop-event poll, `ui/analysis_worker.py:60-83`)."""
 
 
 # ---------------------------------------------------------------------------
@@ -987,20 +993,30 @@ def analyze_auto_eq(
     smoothing_strength="conservative", chain_settings=None, vad_probabilities=None,
     noise_audio=None, noise_spectrum_override=None, noise_reference_quality=1.0,
     noise_reference_status="usable", noise_reference_reasons=None,
-    tilt_policy="preserve",
+    tilt_policy="preserve", progress_callback=None,
 ):
     """Full Auto-EQ pipeline (`pipeline.py:7-207`). Returns
     ``(eq_settings, ValidationResult)``; raises ``ValueError`` with a generic
-    message when validation fails."""
+    message when validation fails. ``progress_callback(step) -> bool`` is
+    called at stage boundaries (voice_activity/spectrum/target/optimize/
+    headroom); returning False cancels the analysis with
+    ``AnalysisCancelled`` (the reference worker's stop-event poll,
+    `ui/analysis_worker.py:60-83`)."""
     from .failure_detection import validate_analysis
     from .headroom import apply_headroom_validation
     from .spectrum import analyze_voice_spectrum, smooth_spectrum_perceptual
     from .vad import analyze_offline_vad
 
+    def _step(name: str) -> None:
+        if progress_callback is not None and progress_callback(name) is False:
+            raise AnalysisCancelled(name)
+
+    _step("voice_activity")
     vad_backend = "provided"
     if vad_probabilities is None:
         vad_probabilities, vad_backend = analyze_offline_vad(audio_data, int(sample_rate))
 
+    _step("spectrum")
     spectrum_result = analyze_voice_spectrum(
         audio_data, sample_rate,
         vad_probabilities=vad_probabilities,
@@ -1019,8 +1035,10 @@ def analyze_auto_eq(
         if not spectrum_result.used_single_spectrum_fallback
         else f"{target_preset}:{target_mode}:fallback"
     )
+    _step("target")
     target_db = get_target_curve(freqs, target_preset, measured_db=spectrum_smoothed,
                                  target_mode=target_mode)
+    _step("optimize")
     eq_settings = calculate_eq_bands(
         freqs, spectrum_smoothed, target_db,
         spectral_repeatability=spectrum_result.spectral_repeatability,
@@ -1052,6 +1070,7 @@ def analyze_auto_eq(
     eq_settings["measurement_noise_reference_quality"] = float(noise_reference_quality)
     eq_settings["measurement_noise_reference_status"] = str(noise_reference_status)
 
+    _step("headroom")
     eq_settings = apply_headroom_validation(
         audio_data, sample_rate, eq_settings, chain_settings=chain_settings
     )
