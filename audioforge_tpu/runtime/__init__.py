@@ -12,3 +12,4 @@ from .processor import (  # noqa: F401
     register_virtual_output,
 )
 from .ringbuffer import AudioRing, native_ring_available  # noqa: F401
+from .serving import ServingConfig, ServingEngine  # noqa: F401

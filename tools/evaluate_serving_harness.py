@@ -1,0 +1,162 @@
+"""Serving-harness evaluation: multi-stream throughput and step latency.
+
+Measures the :class:`audioforge_tpu.runtime.serving.ServingEngine` — the
+batched-stream production-serving path — across fleet sizes, separating the
+two quantities that matter:
+
+- **compute capability** (``step_many``: one fused ``lax.scan`` device call
+  over a span of blocks — dispatch and transfers amortized): per-block
+  device time and aggregate audio-sec/sec for the full live chain
+  (routing → auto-gate → smart gate → RNNoise → de-esser → EQ →
+  compressor → limiter → true-peak);
+- **interactive dispatch overhead** (``step``: one device call per 10 ms
+  block): p50/p95 step latency. On the tunnelled development TPU each call
+  pays tunnel RTT, so this is reported as an advisory overhead figure, not
+  a gate — production serving colocates the host with the chip.
+
+Decision gates (binding on accelerators):
+- the fused path must sustain realtime per stream at every fleet size
+  (per-block compute below the 10 ms block period), and
+- aggregate fused throughput must grow with fleet size (batching pays).
+
+Regenerates ``evaluation/serving-harness-report.json``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from tools._evaluation_common import write_report  # noqa: E402
+
+BLOCK_PERIOD_S = 480 / 48000.0
+FLEET_SIZES = (1, 4, 16)
+SCAN_SPAN_BLOCKS = 100  # 1 s of audio per fused device call
+SCAN_REPEATS = 5
+INTERACTIVE_WARMUP = 10
+INTERACTIVE_BLOCKS = 60
+
+
+def _percentile(values, q):
+    values = sorted(values)
+    idx = min(len(values) - 1, max(0, int(round(q / 100.0 * (len(values) - 1)))))
+    return values[idx]
+
+
+def evaluate():
+    import jax
+    import numpy as np
+
+    from audioforge_tpu.runtime import live_chain as lc
+    from audioforge_tpu.runtime.serving import BLOCK, ServingConfig, ServingEngine
+
+    platform = jax.devices()[0].platform
+    chain = lc.LiveChainConfig(deesser_enabled=True)
+    rng = np.random.default_rng(0xF1EE7)
+
+    results = []
+    for fleet in FLEET_SIZES:
+        eng = ServingEngine(ServingConfig(
+            capacity=fleet, suppressor_model="rnnoise", vad_enabled=False,
+            chain=chain))
+        slots = [eng.attach() for _ in range(fleet)]
+
+        def feed(n_blocks):
+            for s in slots:
+                eng.push(s, (0.1 * rng.standard_normal(n_blocks * BLOCK))
+                         .astype(np.float32))
+
+        # ---- fused-scan path (compute capability) ----
+        feed(SCAN_SPAN_BLOCKS)
+        eng.step_many(SCAN_SPAN_BLOCKS)  # compile
+        scan_times = []
+        for _ in range(SCAN_REPEATS):
+            feed(SCAN_SPAN_BLOCKS)
+            t0 = time.perf_counter()
+            eng.step_many(SCAN_SPAN_BLOCKS)
+            scan_times.append(time.perf_counter() - t0)
+        best = min(scan_times)
+        per_block_s = best / SCAN_SPAN_BLOCKS
+        fused_audio_sec_per_sec = fleet * BLOCK_PERIOD_S / per_block_s
+
+        # ---- interactive path (per-call dispatch) ----
+        step_times = []
+        for i in range(INTERACTIVE_WARMUP + INTERACTIVE_BLOCKS):
+            feed(1)
+            t0 = time.perf_counter()
+            eng.step()
+            dt = time.perf_counter() - t0
+            if i >= INTERACTIVE_WARMUP:
+                step_times.append(dt)
+
+        results.append({
+            "fleet_size": fleet,
+            "fused_per_block_seconds": per_block_s,
+            "fused_aggregate_audio_sec_per_sec": fused_audio_sec_per_sec,
+            "fused_realtime_ok": per_block_s <= BLOCK_PERIOD_S,
+            "fused_per_stream_realtime_margin": BLOCK_PERIOD_S / per_block_s,
+            "interactive_median_step_seconds": _percentile(step_times, 50),
+            "interactive_p95_step_seconds": _percentile(step_times, 95),
+            "interactive_dispatch_overhead_seconds": max(
+                0.0, _percentile(step_times, 50) - per_block_s
+            ),
+        })
+
+    throughput_grows = all(
+        results[i + 1]["fused_aggregate_audio_sec_per_sec"]
+        > results[i]["fused_aggregate_audio_sec_per_sec"]
+        for i in range(len(results) - 1)
+    )
+    all_realtime = all(r["fused_realtime_ok"] for r in results)
+    gates_binding = platform != "cpu"
+
+    return {
+        "schema_version": 2,
+        "report": "serving-harness",
+        "platform": platform,
+        "configuration": {
+            "chain": "routing+auto-gate+gate+rnnoise+deesser+eq+compressor+limiter+true-peak",
+            "suppressor_model": "rnnoise",
+            "block_samples": 480,
+            "fleet_sizes": list(FLEET_SIZES),
+            "scan_span_blocks": SCAN_SPAN_BLOCKS,
+            "interactive_blocks": INTERACTIVE_BLOCKS,
+        },
+        "results": results,
+        "gates": {
+            "binding": gates_binding,
+            "all_fleets_fused_realtime": all_realtime,
+            "throughput_grows_with_fleet": throughput_grows,
+        },
+        "decision": {
+            "status": "pass" if (throughput_grows
+                                 and (all_realtime or not gates_binding))
+            else "fail",
+            "summary": (
+                ("fused serving sustains realtime at every fleet size and "
+                 "scales with fleet"
+                 if all_realtime and throughput_grows else
+                 "fused serving scales with fleet; realtime gate "
+                 + ("advisory on this host" if not gates_binding
+                    else "FAILED"))
+                + "; interactive per-call dispatch overhead reported "
+                  "separately (tunnel RTT on dev hosts)"
+            ),
+        },
+    }
+
+
+def main() -> int:
+    report = evaluate()
+    write_report("serving-harness-report.json", report)
+    print(report["decision"]["summary"])
+    return 0 if report["decision"]["status"] == "pass" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
