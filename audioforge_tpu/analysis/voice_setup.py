@@ -573,7 +573,7 @@ def _score_simulation(sim, calibrated, incumbent, candidate, target_p95, target_
 
 def _calibrate_compressor(*, speech_audio, sample_rate, eq_settings, deesser_settings,
                           compressor_settings, target_p95_db, target_median_db,
-                          peak_cap_db):
+                          peak_cap_db, mesh=None):
     """Bounded 4-parameter search, candidates evaluated in batched device
     calls (`voice_setup.py:742-1080`)."""
     from ..api import simulate_auto_eq_chain_batched
@@ -614,7 +614,8 @@ def _calibrate_compressor(*, speech_audio, sample_rate, eq_settings, deesser_set
                     fresh.append(cc)
         if not fresh:
             return
-        sims = simulate_auto_eq_chain_batched(speech, sample_rate, bands, flat, fresh)
+        sims = simulate_auto_eq_chain_batched(speech, sample_rate, bands, flat,
+                                              fresh, mesh=mesh)
         for cc, sim in zip(fresh, sims):
             score = _score_simulation(sim, calibrated, incumbent, cc,
                                       target_p95_db, target_median_db, peak_cap_db)
@@ -746,8 +747,13 @@ def analyze_voice_setup(
     noise_audio, speech_audio, sample_rate, target_preset="broadcast", *,
     vad_available=True, dynamics_intensity="balanced", custom_target_p95_db=3.5,
     custom_peak_cap_db=8.0, noise_metadata=None, speech_metadata=None,
+    mesh=None,
 ):
-    """Full Auto Voice Setup (`voice_setup.py:1082-1444`)."""
+    """Full Auto Voice Setup (`voice_setup.py:1082-1444`).
+
+    ``mesh``: optional :class:`jax.sharding.Mesh`; shards the candidate
+    axis of the compressor search over a fleet
+    (:mod:`audioforge_tpu.parallel.fleet`)."""
     noise_arr = np.asarray(noise_audio, float)
     speech_arr = np.asarray(speech_audio, float)
     if noise_arr.size < int(sample_rate * NOISE_MIN_DURATION_S):
@@ -872,6 +878,7 @@ def analyze_voice_setup(
             target_p95_db=float(comp_diag["target_p95_reduction_db"]),
             target_median_db=float(comp_diag["target_median_reduction_db"]),
             peak_cap_db=float(comp_diag["peak_reduction_cap_db"]),
+            mesh=mesh,
         )
 
     dynamics_conf = _clamp(speech_dr_db / 8.0, 0, 1)

@@ -448,7 +448,8 @@ def simulate_auto_eq_chain(audio, sample_rate, bands, settings=None):
     return diagnostics
 
 
-def simulate_auto_eq_chain_batched(audio, sample_rate, bands, settings, param_sets):
+def simulate_auto_eq_chain_batched(audio, sample_rate, bands, settings,
+                                   param_sets, mesh=None):
     """Evaluate MANY compressor parameterisations of the same chain in ONE
     vmapped device call.
 
@@ -458,6 +459,12 @@ def simulate_auto_eq_chain_batched(audio, sample_rate, bands, settings, param_se
     keys {threshold_db, ratio, attack_ms, release_ms}; all other settings
     are shared. Returns one diagnostics dict per candidate (same keys as
     :func:`simulate_auto_eq_chain`, minus output audio).
+
+    ``mesh``: optional :class:`jax.sharding.Mesh` — shards the candidate
+    axis over its devices (collective-free fleet data parallelism; see
+    :mod:`audioforge_tpu.parallel.fleet`). The candidate list is padded to
+    a device-count multiple internally; results keep the original order
+    and length.
     """
     from .ops import compressor as comp_ops
 
@@ -472,9 +479,16 @@ def simulate_auto_eq_chain_batched(audio, sample_rate, bands, settings, param_se
         sample_rate, settings
     )
 
-    B = len(param_sets)
-    if B == 0:
+    B_requested = len(param_sets)
+    if B_requested == 0:
         return []
+    if mesh is not None:
+        from .parallel.fleet import pad_candidates
+
+        param_sets, _ = pad_candidates(
+            list(param_sets), int(np.prod(mesh.devices.shape))
+        )
+    B = len(param_sets)
 
     def stack(key, fn):
         return jnp.asarray([fn(p) for p in param_sets], jnp.float32)
@@ -507,6 +521,17 @@ def simulate_auto_eq_chain_batched(audio, sample_rate, bands, settings, param_se
 
     state = chain_rt.chain_init(cfg, comp_params, eq_bands, batch_shape=(B,))
     blocks_b = jnp.broadcast_to(jnp.asarray(blocks), (B, nb, analysis_block))
+    if mesh is not None:
+        # shard the candidate axis over the fleet; GSPMD partitions the
+        # whole batched scan with no cross-device collectives
+        from .parallel.fleet import shard_batched_tree
+
+        ref_state = chain_rt.chain_init(cfg, base_params, eq_bands)
+        state = shard_batched_tree(state, ref_state, mesh)
+        comp_params = shard_batched_tree(comp_params, base_params, mesh)
+        blocks_b = shard_batched_tree(
+            blocks_b, np.zeros((nb, analysis_block), np.float32), mesh
+        )
     final, ys, stats = chain_rt.chain_run(
         cfg, comp_params, state, blocks_b, return_audio=True
     )
@@ -523,7 +548,7 @@ def simulate_auto_eq_chain_batched(audio, sample_rate, bands, settings, param_se
     runtime_ms = (time.perf_counter() - started) * 1000.0 / B
 
     results = []
-    for b in range(B):
+    for b in range(B_requested):  # pad rows (sharding) are dropped
         out_sq = (ys[b].astype(np.float64) ** 2).sum(axis=1)
         out_rows_db = 20.0 * np.log10(
             np.maximum(np.sqrt(out_sq / np.maximum(valid, 1)), 1e-10)

@@ -101,3 +101,72 @@ def test_vmapped_candidate_sweep_sharded(rng):
     assert gr.shape == (CANDIDATES,)
     # lower thresholds compress more
     assert gr[0] > gr[-1]
+
+
+class TestFleetHelpers:
+    """audioforge_tpu.parallel.fleet — the multi-chip calibration recipe
+    (docs/multichip_fleet.md)."""
+
+    def test_fleet_mesh_covers_devices(self):
+        from audioforge_tpu.parallel import fleet_mesh
+
+        mesh = fleet_mesh()
+        assert mesh.axis_names == ("candidates",)
+        assert int(np.prod(mesh.devices.shape)) == len(jax.devices())
+        assert fleet_mesh(4).devices.size == 4
+        import pytest
+        with pytest.raises(ValueError):
+            fleet_mesh(10_000)
+
+    def test_pad_candidates(self):
+        from audioforge_tpu.parallel import pad_candidates
+
+        cands = [{"i": i} for i in range(5)]
+        padded, n = pad_candidates(cands, 8)
+        assert n == 5 and len(padded) == 8
+        assert padded[5] == padded[6] == padded[7] == cands[-1]
+        same, n = pad_candidates(cands, 1)
+        assert n == 5 and len(same) == 5
+
+    def test_batch_axis_detection(self):
+        from audioforge_tpu.parallel import batch_axis_of
+
+        assert batch_axis_of((16, 480), (480,)) == 0
+        assert batch_axis_of((40, 16, 2), (40, 2)) == 1  # EQ z-state layout
+        assert batch_axis_of((16,), ()) == 0
+        assert batch_axis_of((2, 5), (2, 5)) is None     # shared leaf
+        assert batch_axis_of((3, 4, 5), (9, 9)) is None
+
+    def test_sharded_candidate_sweep_matches_plain(self, rng):
+        """The flagship recipe: simulate_auto_eq_chain_batched with a mesh
+        must reproduce the unsharded diagnostics, including with a
+        candidate count that needs padding."""
+        from audioforge_tpu.api import simulate_auto_eq_chain_batched
+        from audioforge_tpu.ops import eq as eq_ops
+        from audioforge_tpu.parallel import fleet_mesh
+
+        fs = 48000.0
+        t = np.arange(int(fs * 0.5)) / fs
+        speech = (
+            0.15 * np.sin(2 * np.pi * 220 * t)
+            * (np.sin(2 * np.pi * 3.0 * t) > 0)
+            + 0.01 * rng.standard_normal(t.size)
+        ).astype(np.float32)
+        bands = [
+            (b.frequency_hz, 1.0 if i == 4 else 0.0, 4.33)
+            for i, b in enumerate(eq_ops.default_bands())
+        ]
+        cands = [
+            {"threshold_db": -45.0 + 3.0 * i, "ratio": 2.0 + 0.2 * i,
+             "attack_ms": 10.0, "release_ms": 200.0}
+            for i in range(5)  # 5 streams over 8 devices: pads to 8
+        ]
+        plain = simulate_auto_eq_chain_batched(speech, fs, bands, None,
+                                               cands)
+        sharded = simulate_auto_eq_chain_batched(speech, fs, bands, None,
+                                                 cands, mesh=fleet_mesh())
+        assert len(plain) == len(sharded) == 5
+        for a, b in zip(plain, sharded):
+            for k, v in a.items():
+                if isinstance(v, float) and not k.endswith("runtime_ms"):
+                    assert abs(v - float(b[k])) < 1e-5, k
