@@ -42,6 +42,9 @@ __all__ = [
     "calibrate_probability",
     "init_params",
     "load_weights",
+    "default_params",
+    "weights_source",
+    "discover_model_path",
     "silero_infer",
     "vad_stream_init",
     "vad_stream_process",
@@ -147,6 +150,34 @@ def discover_model_path():
     return candidate if candidate.is_file() else None
 
 
+_DEFAULT_PARAMS_CACHE: dict = {}
+
+
+def default_params():
+    """Resolve the default weight set once per process: a discovered
+    converted archive (:func:`discover_model_path`) wins; otherwise the
+    seeded structural weights. :func:`weights_source` reports which —
+    callers that gate on posterior quality (e.g. the microphone-noise
+    capture contract) must check it."""
+    if "params" not in _DEFAULT_PARAMS_CACHE:
+        path = discover_model_path()
+        if path is not None:
+            _DEFAULT_PARAMS_CACHE["params"] = load_weights(path)
+            _DEFAULT_PARAMS_CACHE["source"] = "converted"
+        else:
+            _DEFAULT_PARAMS_CACHE["params"] = init_params()
+            _DEFAULT_PARAMS_CACHE["source"] = "seeded"
+    return _DEFAULT_PARAMS_CACHE["params"]
+
+
+def weights_source() -> str:
+    """``"converted"`` when a real weight archive is loaded, else
+    ``"seeded"`` (structural weights — posteriors are shape-correct but
+    not discriminative on real speech)."""
+    default_params()
+    return _DEFAULT_PARAMS_CACHE["source"]
+
+
 def _stft_mag(x):
     """Magnitude STFT features of a [B, 576] model input: 256-window /
     128-hop frames -> [B, frames, 129]."""
@@ -220,7 +251,7 @@ def vad_stream_init(sample_rate: int = 48000, threshold: float = 0.5,
     if sample_rate not in (16000, 48000):
         raise ValueError("sample_rate must be 16000 or 48000")
     if params is None:
-        params = init_params()
+        params = default_params()
     window_in = WINDOW_SIZE * (sample_rate // SAMPLE_RATE)
     return {
         "params": params,
@@ -293,7 +324,7 @@ def analyze_vad_probabilities(audio, sample_rate, threshold=0.48, params=None):
         raise ValueError("sample_rate must be 16000 or 48000")
     x = np.asarray(audio, np.float32)
     if params is None:
-        params = init_params()
+        params = default_params()
     win_in = WINDOW_SIZE * (sample_rate // SAMPLE_RATE)
     n_windows = -(-len(x) // win_in) if len(x) else 0
     if n_windows == 0:

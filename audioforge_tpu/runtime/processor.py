@@ -664,6 +664,14 @@ class AudioProcessor:
             )
             if should and not self._recovery_suppressed:
                 self.request_recovery("output callback stall")
+            # input half of the dual heartbeat watch (`supervisor.rs:22-98`):
+            # a source that blocks or dies without raising surfaces here
+            should_in = manager.maybe_recover_input_stall(
+                input_cb_age_ms=self.get_input_callback_age_ms(),
+                calibration_dialog_open=self._recording is not None,
+            )
+            if should_in and not self._recovery_suppressed:
+                self.request_recovery("input callback stall")
 
     def _vad_loop(self):
         """Silero worker at window cadence (`processor/vad_worker.rs`)."""

@@ -62,6 +62,7 @@ class StreamRecoveryManager:
 
     output_stall_started_at: float | None = None
     output_callback_stall_started_at: float | None = None
+    input_callback_stall_started_at: float | None = None
     last_output_recovery_at: float = 0.0
     processing_started_at: float | None = None
 
@@ -69,11 +70,49 @@ class StreamRecoveryManager:
         self.processing_started_at = time.monotonic() if now is None else now
         self.output_stall_started_at = None
         self.output_callback_stall_started_at = None
+        self.input_callback_stall_started_at = None
 
     def mark_processing_stopped(self) -> None:
         self.processing_started_at = None
         self.output_stall_started_at = None
         self.output_callback_stall_started_at = None
+        self.input_callback_stall_started_at = None
+
+    def maybe_recover_input_stall(
+        self,
+        *,
+        input_cb_age_ms: int,
+        calibration_dialog_open: bool,
+        now=None,
+        warmup_s: float = 5.0,
+        cooldown_s: float = 20.0,
+        grace_s: float = 1.5,
+        input_age_threshold_ms: int = 2500,
+    ) -> bool:
+        """True when input-stall recovery should run: the input callback's
+        heartbeat aged past 2.5 s, sustained past the grace period — the
+        input half of the reference supervisor's dual heartbeat watch
+        (`supervisor.rs:22-98`: "checks callback heartbeats"); a device
+        that disappears without an error surfaces here."""
+        current = time.monotonic() if now is None else now
+        if calibration_dialog_open or self.processing_started_at is None:
+            self.input_callback_stall_started_at = None
+            return False
+        if current - self.processing_started_at < warmup_s:
+            return False
+        if current - self.last_output_recovery_at < cooldown_s:
+            return False
+        if input_cb_age_ms <= input_age_threshold_ms:
+            self.input_callback_stall_started_at = None
+            return False
+        if self.input_callback_stall_started_at is None:
+            self.input_callback_stall_started_at = current
+            return False
+        if current - self.input_callback_stall_started_at < grace_s:
+            return False
+        self.input_callback_stall_started_at = None
+        self.last_output_recovery_at = current
+        return True
 
     def maybe_recover_output_stall(
         self,

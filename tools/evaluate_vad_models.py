@@ -201,12 +201,17 @@ def main() -> int:
     parser.add_argument("--max-captures", type=int, default=0,
                         help="limit corpus size (0 = all)")
     parser.add_argument("--skip-rtf", action="store_true")
+    parser.add_argument("--corpus", type=Path, default=CORPUS_DIR,
+                        help="corpus dir (e.g. models/vad_child_corpus from "
+                             "tools/fetch_vad_child_validation_corpus.py)")
+    parser.add_argument("--report-name", default="vad-models-report.json")
     args = parser.parse_args()
 
-    if not (CORPUS_DIR / "manifest.json").is_file():
+    corpus_dir = args.corpus
+    if not (corpus_dir / "manifest.json").is_file():
         print("corpus missing; run tools/build_vad_evaluation_corpus.py first")
         return 1
-    manifest = json.loads((CORPUS_DIR / "manifest.json").read_text())
+    manifest = json.loads((corpus_dir / "manifest.json").read_text())
     captures = manifest["captures"]
     if args.max_captures:
         captures = captures[: args.max_captures]
@@ -224,7 +229,7 @@ def main() -> int:
     rows = {"energy": [], "silero-native": []}
     finite_ok = True
     for cap in captures:
-        audio = _read_wav(CORPUS_DIR / cap["file"])
+        audio = _read_wav(corpus_dir / cap["file"])
         truth = _window_truth(audio.size, cap["speech_intervals_samples"])
         for backend in rows:
             posterior = (
@@ -331,7 +336,7 @@ def main() -> int:
             "serving batches streams through the batched XLA path.",
         ],
     }
-    write_report("vad-models-report.json", report)
+    write_report(args.report_name, report)
     return 0 if all(checks.values()) else 1
 
 
