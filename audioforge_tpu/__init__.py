@@ -19,6 +19,19 @@ __version__ = "0.1.0"
 
 CORE_AVAILABLE = True
 
+# Platform selection must precede the submodule imports below: they
+# materialize device constants (filter banks, windows), which initializes
+# the JAX backend — after that, platform overrides are ignored. Launchers
+# that pin the platform via a preloaded module (e.g. a tunnelled dev TPU)
+# ignore plain XLA env vars, so this hook goes through jax.config.
+import os as _os  # noqa: E402
+
+if _os.environ.get("AUDIOFORGE_PLATFORM"):
+    import jax as _jax  # noqa: E402
+
+    _jax.config.update("jax_platforms",
+                       _os.environ["AUDIOFORGE_PLATFORM"])
+
 from .api import (  # noqa: E402,F401
     compressor_pumping_score,
     eq_magnitude_response,

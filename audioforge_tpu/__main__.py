@@ -56,6 +56,74 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    """Bulk multi-stream processing: N WAVs advance together through one
+    batched device step (`runtime/serving.py`), full live chain per
+    stream."""
+    import wave
+    from pathlib import Path
+
+    import numpy as np
+
+    from .runtime import live_chain as lc
+    from .runtime.serving import BLOCK, ServingConfig, ServingEngine
+
+    paths = [Path(p) for p in args.inputs]
+    if not paths:
+        print("no inputs", file=sys.stderr)
+        return 2
+
+    def read_wav(path):
+        with wave.open(str(path), "rb") as handle:
+            if handle.getframerate() != 48000 or handle.getnchannels() != 1:
+                raise ValueError(f"{path} must be 48 kHz mono")
+            raw = handle.readframes(handle.getnframes())
+        return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+
+    audios = [read_wav(p) for p in paths]
+    n_blocks = max(-(-a.size // BLOCK) for a in audios)
+    cfg = ServingConfig(
+        capacity=len(paths),
+        suppressor_model=(None if args.suppressor == "none"
+                          else args.suppressor),
+        vad_enabled=args.vad,
+        chain=lc.LiveChainConfig(deesser_enabled=args.deesser),
+    )
+    engine = ServingEngine(cfg)
+    outputs = [[] for _ in paths]
+    for i, audio in enumerate(audios):
+        slot = engine.attach(
+            sink=(lambda i: lambda blk: outputs[i].append(blk.copy()))(i))
+        padded = np.zeros(n_blocks * BLOCK, np.float32)
+        padded[: audio.size] = audio
+        engine.push(slot, padded)
+
+    start = time.perf_counter()
+    done = 0
+    while done < n_blocks:
+        span = min(args.span, n_blocks - done)
+        engine.step_many(span)
+        done += span
+    elapsed = time.perf_counter() - start
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for path, audio, blocks in zip(paths, audios, outputs):
+        y = np.concatenate(blocks)[: audio.size]
+        out = out_dir / f"{path.stem}.processed.wav"
+        with wave.open(str(out), "wb") as handle:
+            handle.setnchannels(1)
+            handle.setsampwidth(2)
+            handle.setframerate(48000)
+            handle.writeframes(
+                (np.clip(y, -1.0, 1.0) * 32767.0).astype("<i2").tobytes())
+        print(f"wrote {out}")
+    audio_s = sum(a.size for a in audios) / 48000.0
+    print(f"{len(paths)} streams, {audio_s:.1f} audio-s in {elapsed:.1f}s "
+          f"({audio_s / max(elapsed, 1e-9):.1f}x realtime aggregate)")
+    return 0
+
+
 def _cmd_diagnostics(args) -> int:
     from . import AudioProcessor
 
@@ -75,6 +143,10 @@ def main(argv=None) -> int:
         prog="audioforge_tpu",
         description="TPU-native AudioForge: headless engine and ops entry.",
     )
+    parser.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force the JAX platform (some launchers pin it via a preloaded "
+             "module, so plain env vars are ignored)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     sub.add_parser("devices", help="list virtual audio endpoints")
@@ -94,13 +166,46 @@ def main(argv=None) -> int:
     diag.add_argument("--output-device", default=None)
     diag.add_argument("--settle", type=float, default=2.0)
 
+    serve = sub.add_parser(
+        "serve",
+        help="process N WAVs together through the batched serving engine")
+    serve.add_argument("inputs", nargs="+", help="48 kHz mono WAV files")
+    serve.add_argument("--output-dir", default="processed")
+    serve.add_argument("--suppressor", default="rnnoise",
+                       choices=("none", "rnnoise", "deepfilter-ll",
+                                "deepfilter"))
+    serve.add_argument("--vad", action="store_true",
+                       help="run batched in-step Silero VAD")
+    serve.add_argument("--deesser", action="store_true")
+    serve.add_argument("--span", type=int, default=100,
+                       help="blocks per fused device call")
+
     args = parser.parse_args(argv)
+    if args.platform:
+        import os
+
+        if os.environ.get("AUDIOFORGE_PLATFORM") != args.platform:
+            # the package import (already done under ``python -m``) pins
+            # the backend; re-exec with the env hook so the override lands
+            # before any device constant materializes
+            os.environ["AUDIOFORGE_PLATFORM"] = args.platform
+            os.execv(sys.executable,
+                     [sys.executable, "-m", "audioforge_tpu"]
+                     + [a for a in (argv or sys.argv[1:])
+                        if a not in ("--platform", args.platform)])
+    import jax
+
+    # persistent compile cache: the fused chain kernels are compile-heavy
+    jax.config.update("jax_compilation_cache_dir", "/tmp/afx_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.command == "devices":
         return _cmd_devices(args)
     if args.command == "run":
         return _cmd_run(args)
     if args.command == "diagnostics":
         return _cmd_diagnostics(args)
+    if args.command == "serve":
+        return _cmd_serve(args)
     parser.error("unknown command")
     return 2
 

@@ -8,10 +8,12 @@ full offline chain (de-esser + 10-band EQ + compressor + lookahead limiter +
 4x true-peak limiter) batched over independent streams — the BASELINE.json
 north star is >= 1000x realtime per chip. ``vs_baseline`` is value / 1000.
 
-Methodology notes: the batch is shaped (8, 128) to fill VPU tiles, the
-timed computation reduces to a scalar inside jit, and the value is fetched
-to the host per iteration (on the tunnelled platform ``block_until_ready``
-alone does not reliably await completion).
+Methodology notes: the batch is shaped (16, 128) — 2048 streams, the
+measured throughput knee on v5e (1024 leaves VPU lanes idle, 4096 spills;
+measured 4.4k/6.1k/5.8k audio-sec/sec at 1024/2048/4096). The timed
+computation reduces to a scalar inside jit and the value is fetched to the
+host per iteration (on the tunnelled platform ``block_until_ready`` alone
+does not reliably await completion).
 """
 
 import json
@@ -27,7 +29,7 @@ def main():
     from audioforge_tpu.ops import deesser as des_ops
     from audioforge_tpu.runtime import chain as chain_rt
 
-    SHAPE = (8, 128)  # one full VPU tile of streams
+    SHAPE = (16, 128)  # 2048 streams: the measured throughput knee
     BATCH = int(np.prod(SHAPE))
     BLOCK = 480
     N_BLOCKS = 200  # 2 s per stream per call

@@ -284,6 +284,65 @@ class TestMicNoiseCapture:
         assert not short["checks"]["duration"]
 
 
+class TestConvertedWeightParity:
+    def test_tracked_report_schema(self):
+        report = _report("converted-weight-parity-report.json")
+        assert set(report["models"]) == {"silero", "rnnoise", "dfn3"}
+        for entry in report["models"].values():
+            assert entry["weights_in_use"] in {"seeded", "converted"}
+        # pending models are listed explicitly, never silently passed
+        for name in report["pending_conversions"]:
+            assert report["models"][name]["archive_present"] is False
+        assert report["contracts"]["dfn3"]["available"] is True
+
+    def test_silero_weights_source_reports(self):
+        from audioforge_tpu.models.silero import weights_source
+
+        assert weights_source() in {"seeded", "converted"}
+
+
+class TestSuppressorModelSelection:
+    def test_tracked_report_schema(self):
+        report = _report("suppressor-model-selection-report.json")
+        assert set(report["aggregates"]) == {
+            "rnnoise", "deepfilter-ll", "deepfilter"}
+        assert report["aggregates"]["rnnoise"]["latency_samples"] == 480
+        assert report["aggregates"]["deepfilter"]["latency_samples"] == 1440
+        assert report["decision"]["default_model"] == "rnnoise"
+        if report["weights"]["source"] == "seeded":
+            assert report["weights"]["quality_gates_binding"] is False
+
+
+class TestChildVadCorpus:
+    def test_manifest_schema_matches_adult_corpus(self):
+        root = REPO / "models" / "vad_child_corpus"
+        if not root.exists():
+            pytest.skip("child corpus not generated")
+        manifest = json.loads((root / "manifest.json").read_text())
+        adult = json.loads(
+            (REPO / "models" / "vad_eval_corpus" / "manifest.json")
+            .read_text())
+        # same capture schema so evaluate_vad_models consumes it unchanged
+        assert set(manifest["captures"][0]) == set(adult["captures"][0])
+        cap = manifest["captures"][0]
+        actual = hashlib.sha256((root / cap["file"]).read_bytes()).hexdigest()
+        assert actual == cap["sha256"]
+
+    def test_child_voices_are_higher_pitched(self):
+        import fetch_vad_child_validation_corpus as child
+
+        rng = np.random.default_rng(1)
+        audio, intervals = child._child_speech((310.0, 0.7, 3.6), rng, 3.0)
+        assert intervals, "child speech must contain utterances"
+        # dominant frequency of the voiced region sits in the child range
+        lo, hi = intervals[0]
+        seg = audio[lo:hi]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(seg.size)))
+        freqs = np.fft.rfftfreq(seg.size, 1.0 / 48_000)
+        dominant = freqs[np.argmax(spec)]
+        assert 200.0 <= dominant <= 1300.0  # f0 or low harmonic
+
+
 class TestUiSnapshots:
     def test_tracked_snapshot_report(self):
         report = _report("ui-snapshot-report.json")

@@ -100,7 +100,7 @@ def _silero_parity():
         "speech_windows": int(speech.size),
         "noise_windows": int(noise.size),
         "speech_noise_auc": float(auc),
-        "passed": float(auc) >= GATES["silero_min_speech_noise_auc"],
+        "passed": bool(float(auc) >= GATES["silero_min_speech_noise_auc"]),
     }
 
 
@@ -147,7 +147,7 @@ def _rnnoise_parity():
         "available": True,
         "pairs": len(improvements),
         "median_si_sdr_improvement_db": med,
-        "passed": med >= GATES["rnnoise_min_si_sdr_improvement_db"],
+        "passed": bool(med >= GATES["rnnoise_min_si_sdr_improvement_db"]),
     }
 
 
@@ -177,7 +177,7 @@ def _dfn3_parity():
     return {
         "available": True,
         "passthrough_deviation_db": float(deviation),
-        "passed": deviation <= GATES["dfn3_max_passthrough_deviation_db"],
+        "passed": bool(deviation <= GATES["dfn3_max_passthrough_deviation_db"]),
     }
 
 
