@@ -1,0 +1,154 @@
+"""Scan-kernel strategy record: XLA ``lax.scan`` vs a Pallas TPU kernel.
+
+The chain's genuinely sequential stages (gate/compressor/de-esser
+envelopes) run as unrolled ``lax.scan`` over samples. The obvious
+"go faster" hypothesis is a hand-written Pallas kernel holding state in
+registers across the in-kernel sample loop. This record pins the A/B that
+decides it, on real hardware:
+
+- a representative envelope recurrence (abs -> branchless coefficient
+  select -> one-pole -> log post-op) over ``[480, 2048]`` blocks,
+- both variants amortized over a 50-block ``lax.scan`` inside one jit so
+  per-call dispatch/tunnel latency cancels,
+- decision gate: Pallas must win by >= 20 % to justify carrying a custom
+  kernel; otherwise the XLA scan stays.
+
+Measured on TPU v5e: the two are within ~6 % (scan 0.551 / pallas
+0.584 ms per 480-sample block at batch 2048) — the cost is the
+sequential dependency chain's issue latency (~0.2 us per dependent
+vector op), which a custom kernel cannot shorten on the same VPU. The
+framework therefore keeps ``lax.scan`` with moderate unroll for all
+per-sample stages and spends parallelism on batch (streams/candidates)
+and on the stages with exact parallel-in-time formulations (EQ's blocked
+associative scans, the limiter's max-affine scan, the true-peak FIR).
+
+Regenerates ``evaluation/scan-kernel-strategy.json``. Runs on the
+accelerator (do NOT force CPU: the decision is hardware-specific).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from tools._evaluation_common import write_report  # noqa: E402
+
+T, B, R = 480, 2048, 50
+PALLAS_RETENTION_SPEEDUP = 1.20
+REPEATS = 5
+
+
+def evaluate():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    platform = jax.devices()[0].platform
+    xs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((R, T, B)).astype(np.float32)
+    )
+
+    def step(env, v):
+        a = jnp.abs(v)
+        c = jnp.where(a > env, 0.3, 0.01)
+        env = c * env + (1 - c) * a
+        return env, jnp.log(jnp.maximum(env, 1e-10))
+
+    @jax.jit
+    def scan_env(xs):
+        def outer(env, x):
+            env, ys = jax.lax.scan(step, env, x, unroll=8)
+            return env, jnp.sum(ys)
+
+        _, out = jax.lax.scan(outer, jnp.zeros((B,), jnp.float32), xs)
+        return jnp.sum(out)
+
+    def env_kernel(x_ref, env_ref, o_ref, env_out_ref):
+        def body(t, env):
+            v = x_ref[t, :]
+            a = jnp.abs(v)
+            c = jnp.where(a > env, 0.3, 0.01)
+            env = c * env + (1 - c) * a
+            o_ref[t, :] = jnp.log(jnp.maximum(env, 1e-10))
+            return env
+
+        env_out_ref[...] = jax.lax.fori_loop(0, T, body, env_ref[...])
+
+    pcall = pl.pallas_call(
+        env_kernel,
+        out_shape=(jax.ShapeDtypeStruct((T, B), jnp.float32),
+                   jax.ShapeDtypeStruct((B,), jnp.float32)),
+    )
+
+    @jax.jit
+    def pallas_env(xs):
+        def outer(env, x):
+            y, env = pcall(x, env)
+            return env, jnp.sum(y)
+
+        _, out = jax.lax.scan(outer, jnp.zeros((B,), jnp.float32), xs)
+        return jnp.sum(out)
+
+    results = {}
+    parity = {}
+    outs = {}
+    for name, fn in (("xla_scan", scan_env), ("pallas", pallas_env)):
+        outs[name] = float(fn(xs))
+        best = 1e9
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(fn(xs))
+            best = min(best, time.perf_counter() - t0)
+        results[name] = {
+            "ms_per_block": best * 1e3 / R,
+            "us_per_sample": best * 1e6 / (R * T),
+        }
+    parity["checksum_rel_diff"] = abs(outs["xla_scan"] - outs["pallas"]) / max(
+        abs(outs["xla_scan"]), 1e-12
+    )
+    speedup = (results["xla_scan"]["ms_per_block"]
+               / max(results["pallas"]["ms_per_block"], 1e-12))
+    retain_pallas = speedup >= PALLAS_RETENTION_SPEEDUP
+
+    return {
+        "schema_version": 1,
+        "report": "scan-kernel-strategy",
+        "platform": platform,
+        "configuration": {
+            "block_samples": T, "batch": B, "blocks_per_call": R,
+            "scan_unroll": 8,
+            "retention_gate_speedup": PALLAS_RETENTION_SPEEDUP,
+        },
+        "results": results,
+        "parity": parity,
+        "decision": {
+            "pallas_speedup": speedup,
+            "retained": "xla_scan" if not retain_pallas else "pallas",
+            "reason": (
+                "the per-sample cost is the sequential dependency chain's "
+                "issue latency on the VPU, which a custom kernel cannot "
+                "shorten — lax.scan with moderate unroll stays"
+                if not retain_pallas else
+                "pallas beats the retention gate; migrate the sequential "
+                "stages"
+            ),
+        },
+    }
+
+
+def main() -> int:
+    report = evaluate()
+    write_report("scan-kernel-strategy.json", report)
+    d = report["decision"]
+    print(f"retained {d['retained']} (pallas speedup {d['pallas_speedup']:.2f}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
