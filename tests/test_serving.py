@@ -304,6 +304,34 @@ class TestFusedScan:
         assert gr_after > gr_before + 2.0
 
 
+class TestServingNoRetrace:
+    def test_lifecycle_and_control_reuse_one_compile(self):
+        """The serving equivalent of the reference's zero-allocation
+        steady-state contract: attach/detach, control edits, suppressor
+        tweaks, and slot resets must all hit ONE compiled step — retraces
+        on the serving hot path are the TPU analogue of RT-thread
+        allocation (SURVEY §4 tier 3)."""
+        cfg = ServingConfig(capacity=2, suppressor_model=None,
+                            vad_enabled=False, chain=_chain_cfg())
+        eng = ServingEngine(cfg)
+        s0 = eng.attach()
+        eng.push(s0, _tone(1))
+        eng.step()
+        assert eng._step._cache_size() == 1
+        # lifecycle churn + control edits
+        s1 = eng.attach()
+        eng.set_stream_params(s0, compressor_threshold_db=-35.0,
+                              gate_threshold_db=-50.0)
+        eng.step()
+        eng.detach(s1)
+        eng.step()
+        s2 = eng.attach()  # slot reuse -> in-graph reset
+        eng.set_stream_eq(s2, None)
+        eng.push(s2, _tone(1))
+        eng.step()
+        assert eng._step._cache_size() == 1, "serving hot path retraced"
+
+
 class TestVadServing:
     def test_batched_vad_warms_up_and_reports(self):
         cfg = ServingConfig(capacity=2, suppressor_model=None,

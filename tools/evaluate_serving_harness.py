@@ -35,7 +35,7 @@ if str(REPO_ROOT) not in sys.path:
 from tools._evaluation_common import write_report  # noqa: E402
 
 BLOCK_PERIOD_S = 480 / 48000.0
-FLEET_SIZES = (1, 4, 16)
+FLEET_SIZES = (1, 4, 16, 256)
 SCAN_SPAN_BLOCKS = 100  # 1 s of audio per fused device call
 SCAN_REPEATS = 5
 INTERACTIVE_WARMUP = 10
