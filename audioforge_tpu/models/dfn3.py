@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.dft import irdft_auto, rdft_auto
+
 __all__ = [
     "FRAME_SIZE",
     "WINDOW_SIZE",
@@ -180,7 +182,7 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
               post_filter_beta=DEFAULT_POST_FILTER_BETA):
     """Enhance one 480-sample frame. Returns ``(new_state, y, aux)``."""
     windowed = jnp.concatenate([state["analysis_mem"], x_frame], axis=-1) * _WINDOW
-    X = jnp.fft.rfft(windowed, axis=-1)
+    X = rdft_auto(windowed, WINDOW_SIZE)
     mag = jnp.abs(X).astype(jnp.float32)
     erb_feat = jnp.log1p(mag**2 @ _ERB.T)
     low = X[..., :DF_BINS]
@@ -236,7 +238,7 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
     # (DeepFilterNet's df_set_atten_lim semantics, `deepfilter_ffi.rs:44-63`)
     Y = gain_floor * X + (1.0 - gain_floor) * Y
 
-    y = jnp.fft.irfft(Y, n=WINDOW_SIZE, axis=-1).astype(jnp.float32) * _WINDOW
+    y = irdft_auto(Y, WINDOW_SIZE).astype(jnp.float32) * _WINDOW
     out = state["synthesis_mem"] + y[..., :FRAME_SIZE]
     new_state = {
         "analysis_mem": x_frame,

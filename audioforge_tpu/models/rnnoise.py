@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.dft import irdft_auto, rdft_auto
+
 __all__ = [
     "FRAME_SIZE",
     "WINDOW_SIZE",
@@ -196,7 +198,7 @@ def _features(state, x_frame):
     """42-dim feature vector per frame (`nnnoiseless` feature layout:
     22 BFCC, 2x6 deltas, 6 pitch-corr cepstra, pitch gain + variability)."""
     windowed_in = jnp.concatenate([state["analysis_mem"], x_frame], axis=-1) * _WINDOW
-    X = jnp.fft.rfft(windowed_in, axis=-1)
+    X = rdft_auto(windowed_in, WINDOW_SIZE)
     mag2 = (X.real**2 + X.imag**2).astype(jnp.float32)
     bandE = mag2 @ _BANDS.T  # [..., 22]
     logE = jnp.log10(jnp.maximum(bandE, 1e-2))
@@ -210,8 +212,9 @@ def _features(state, x_frame):
     # pitch-correlation cepstra: correlation of the current frame with the
     # previous one, banded (proxy for the comb-correlation features)
     prev = state["pitch_mem"]
-    Xp = jnp.fft.rfft(
-        jnp.concatenate([prev, x_frame], axis=-1)[..., :WINDOW_SIZE] * _WINDOW, axis=-1
+    Xp = rdft_auto(
+        jnp.concatenate([prev, x_frame], axis=-1)[..., :WINDOW_SIZE] * _WINDOW,
+        WINDOW_SIZE,
     )
     cross = (X.real * Xp.real + X.imag * Xp.imag).astype(jnp.float32)
     bandC = cross @ _BANDS.T
@@ -255,7 +258,7 @@ def rnnoise_frame(params, state, x_frame):
 
     bin_gains = gains @ _INTERP.T  # [..., 481]
     Y = X * bin_gains
-    y = jnp.fft.irfft(Y, n=WINDOW_SIZE, axis=-1).astype(jnp.float32) * _WINDOW
+    y = irdft_auto(Y, WINDOW_SIZE).astype(jnp.float32) * _WINDOW
     out = state["synthesis_mem"] + y[..., :FRAME_SIZE]
     new_state = {
         "analysis_mem": x_frame,
