@@ -27,11 +27,13 @@ __all__ = ["rdft", "irdft", "rdft_auto", "irdft_auto"]
 
 @lru_cache(maxsize=4)
 def _forward_matrices(n: int):
+    # cache NUMPY constants: a jnp array materialized during a jit trace
+    # would be a traced constant, and caching it leaks the tracer into
+    # later traces (each trace re-embeds the numpy constant instead)
     bins = n // 2 + 1
     k = np.arange(n)[:, None] * np.arange(bins)[None, :]
     ang = -2.0 * np.pi * k / n
-    return (jnp.asarray(np.cos(ang), jnp.float32),
-            jnp.asarray(np.sin(ang), jnp.float32))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
 @lru_cache(maxsize=4)
@@ -46,8 +48,8 @@ def _inverse_matrices(n: int):
     w[0, 0] = 1.0
     if n % 2 == 0:
         w[-1, 0] = 1.0
-    return (jnp.asarray(w * np.cos(ang) / n, jnp.float32),
-            jnp.asarray(-w * np.sin(ang) / n, jnp.float32))
+    return ((w * np.cos(ang) / n).astype(np.float32),
+            (-w * np.sin(ang) / n).astype(np.float32))
 
 
 def rdft(x, n: int | None = None):

@@ -377,3 +377,25 @@ class TestMxuDft:
         # round trip must hold
         assert jax.default_backend() == "cpu"
         assert float(jnp.max(jnp.abs(y - x))) < 1e-4
+
+    def test_constants_survive_cross_trace_reuse(self, rng):
+        """The DFT matrices are cached as numpy: a jnp constant first
+        materialized inside one jit trace would leak its tracer into
+        later traces (regression: serving evaluator fleet sweep)."""
+        import jax
+        import jax.numpy as jnp
+
+        from audioforge_tpu.ops.dft import rdft
+
+        x = jnp.asarray(rng.standard_normal((2, 960)).astype(np.float32))
+
+        @jax.jit
+        def first(x):
+            return jnp.sum(jnp.abs(rdft(x, 960)))
+
+        @jax.jit
+        def second(x):
+            return jnp.sum(jnp.real(rdft(x, 960)))
+
+        assert np.isfinite(float(first(x)))
+        assert np.isfinite(float(second(x)))  # raised UnexpectedTracerError
