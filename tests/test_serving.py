@@ -317,7 +317,10 @@ class TestServingNoRetrace:
         s0 = eng.attach()
         eng.push(s0, _tone(1))
         eng.step()
-        assert eng._step._cache_size() == 1
+        # the pjit cache is shared across engine instances of the same
+        # underlying step function, so assert no GROWTH rather than an
+        # absolute count (suite ordering populates it)
+        baseline = eng._step._cache_size()
         # lifecycle churn + control edits
         s1 = eng.attach()
         eng.set_stream_params(s0, compressor_threshold_db=-35.0,
@@ -329,7 +332,7 @@ class TestServingNoRetrace:
         eng.set_stream_eq(s2, None)
         eng.push(s2, _tone(1))
         eng.step()
-        assert eng._step._cache_size() == 1, "serving hot path retraced"
+        assert eng._step._cache_size() == baseline, "serving hot path retraced"
 
 
 class TestVadServing:
