@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the 2048-stream chain scan is compile-heavy;
+# re-runs (and the hardware validator's subprocess) must not pay it again
+jax.config.update("jax_compilation_cache_dir", "/tmp/afx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from audioforge_tpu.ops import compressor as comp_ops

@@ -53,7 +53,7 @@ def main() -> int:
     runs = {}
 
     # 1) headline benchmark on the real chip
-    bench_run, bench_out = _run([sys.executable, "bench.py"])
+    bench_run, bench_out = _run([sys.executable, "bench.py"], timeout=2400)
     runs["bench"] = bench_run
     bench_json = None
     for line in bench_out.splitlines():
