@@ -435,6 +435,7 @@ class ServingEngine:
 
         self._step = jax.jit(_serving_step, static_argnums=(0,))
         self._scan = jax.jit(_serving_scan, static_argnums=(0,))
+        self._inflight = None
         self._params_dirty = True
         self._params_device = None
         self._thread = None
@@ -625,6 +626,49 @@ class ServingEngine:
         self.last_step_seconds = time.perf_counter() - t0
         return metrics
 
+    def step_pipelined(self, ext_vad_prob=None, ext_vad_avail=None):
+        """Advance every stream by one block with ONE BLOCK of pipeline
+        delay: the device call for block t is dispatched asynchronously
+        and block t-1's results are fetched/delivered while it runs, so
+        host dispatch and transfer latency overlap device compute. Sinks
+        receive each block one call later than :meth:`step`; numerics are
+        identical. Call :meth:`flush_pipeline` (or :meth:`stop`) to drain
+        the final in-flight block. Returns the delivered (previous)
+        block's metrics, or None on the first call."""
+        t0 = time.perf_counter()
+        x, active, reset, params = self._gather()
+        ext_vad_prob, ext_vad_avail = self._ext_vad(ext_vad_prob,
+                                                    ext_vad_avail)
+        xb = x[0]
+        if self._sharding is not None:
+            xb = jax.device_put(xb, self._sharding)
+        # async dispatch: returns device futures immediately
+        self._state, y, metrics = self._step(
+            self.config, params, self._state, self._fresh,
+            jnp.asarray(xb), jnp.asarray(active), jnp.asarray(reset),
+            ext_vad_prob, ext_vad_avail,
+        )
+        delivered = None
+        if self._inflight is not None:
+            prev_y, prev_metrics = self._inflight
+            self._deliver(np.asarray(prev_y)[None, :, :], 1)
+            self._last_metrics = prev_metrics
+            delivered = prev_metrics
+        self._inflight = (y, metrics)
+        self.steps += 1
+        self.last_step_seconds = time.perf_counter() - t0
+        return delivered
+
+    def flush_pipeline(self):
+        """Deliver the final in-flight block from :meth:`step_pipelined`."""
+        if self._inflight is None:
+            return None
+        y, metrics = self._inflight
+        self._inflight = None
+        self._deliver(np.asarray(y)[None, :, :], 1)
+        self._last_metrics = metrics
+        return metrics
+
     def step_many(self, n_blocks: int, ext_vad_prob=None,
                   ext_vad_avail=None):
         """Advance every stream by ``n_blocks`` blocks in ONE device call
@@ -685,6 +729,7 @@ class ServingEngine:
         if self._thread is not None:
             self._thread.join(timeout=10.0)
             self._thread = None
+        self.flush_pipeline()
 
     def _loop(self):
         period = BLOCK / self.config.chain.sample_rate

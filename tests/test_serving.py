@@ -304,6 +304,48 @@ class TestFusedScan:
         assert gr_after > gr_before + 2.0
 
 
+class TestPipelinedStep:
+    def test_pipelined_matches_step_with_one_block_delay(self):
+        """step_pipelined overlaps device compute with host delivery; the
+        delivered audio must equal the synchronous path exactly, one call
+        later, with flush_pipeline draining the final block."""
+        cfg = ServingConfig(capacity=2, suppressor_model=None,
+                            vad_enabled=False, chain=_chain_cfg())
+        sync_out, pipe_out = [], []
+        es = ServingEngine(cfg)
+        ep = ServingEngine(cfg)
+        ss = es.attach(sink=lambda b: sync_out.append(b.copy()))
+        sp = ep.attach(sink=lambda b: pipe_out.append(b.copy()))
+        rng = np.random.default_rng(5)
+        x = (0.1 * rng.standard_normal(5 * BLOCK)).astype(np.float32)
+        es.push(ss, x)
+        ep.push(sp, x)
+        first = None
+        for i in range(5):
+            es.step()
+            delivered = ep.step_pipelined()
+            if i == 0:
+                first = delivered
+        assert first is None          # nothing delivered on the first call
+        assert len(pipe_out) == 4     # one block in flight
+        ep.flush_pipeline()
+        assert len(pipe_out) == 5
+        np.testing.assert_allclose(
+            np.concatenate(sync_out), np.concatenate(pipe_out), atol=1e-6)
+
+    def test_stop_flushes_pipeline(self):
+        cfg = ServingConfig(capacity=1, suppressor_model=None,
+                            vad_enabled=False, chain=_chain_cfg())
+        out = []
+        eng = ServingEngine(cfg)
+        s = eng.attach(sink=lambda b: out.append(b.copy()))
+        eng.push(s, _tone(2))
+        eng.step_pipelined()
+        eng.step_pipelined()
+        eng.stop()  # drains the in-flight block
+        assert len(out) == 2
+
+
 class TestServingNoRetrace:
     def test_lifecycle_and_control_reuse_one_compile(self):
         """The serving equivalent of the reference's zero-allocation
