@@ -20,7 +20,12 @@ from ..config.settings import (
     RNNoiseSettings,
 )
 
-__all__ = ["apply_preset", "capture_preset"]
+__all__ = [
+    "apply_preset",
+    "capture_preset",
+    "serving_config_for_preset",
+    "apply_preset_to_stream",
+]
 
 
 def apply_preset(processor, preset: Preset, *, require_exact: bool = False):
@@ -168,3 +173,115 @@ def capture_preset(processor, *, name: str = "Current",
     )
     # round-trip validation so captured state is always loadable
     return Preset.from_dict(preset.to_dict())
+
+
+def serving_config_for_preset(preset: Preset, *, capacity: int = 16,
+                              vad_enabled: bool | None = None):
+    """Build a :class:`~.serving.ServingConfig` whose STATIC topology
+    matches a preset (stage enables, gate mode, compressor modes, noise
+    model). Per-stream continuous knobs then come from
+    :func:`apply_preset_to_stream` — the serving split of the live
+    engine's apply_preset (topology = compiled variant, knobs = traced)."""
+    from . import live_chain as lc
+    from .serving import ServingConfig
+
+    gate = preset.gate
+    comp = preset.compressor
+    chain = lc.LiveChainConfig(
+        gate_enabled=gate.enabled,
+        gate_mode=gate.gate_mode,
+        auto_threshold_enabled=gate.auto_threshold_enabled,
+        deesser_enabled=preset.deesser.enabled,
+        eq_enabled=preset.eq.enabled,
+        compressor_enabled=comp.enabled,
+        adaptive_release=comp.adaptive_release,
+        auto_makeup_enabled=comp.auto_makeup_enabled,
+        sidechain_highpass_enabled=comp.sidechain_highpass_enabled,
+        limiter_enabled=preset.limiter.enabled,
+        careful_output_enabled=preset.limiter.careful_output_enabled,
+    )
+    return ServingConfig(
+        capacity=capacity,
+        chain=chain,
+        suppressor_model=(preset.rnnoise.model if preset.rnnoise.enabled
+                          else None),
+        vad_enabled=(gate.gate_mode != 0 if vad_enabled is None
+                     else vad_enabled),
+    )
+
+
+def apply_preset_to_stream(engine, slot: int, preset: Preset):
+    """Apply a preset's CONTINUOUS controls to one serving stream:
+    per-stream chain params, EQ program, and suppressor strength. The
+    engine's static topology is not changed — mismatches between the
+    preset's stage enables/modes and the engine's ``ServingConfig`` are
+    returned as warning strings (build the engine with
+    :func:`serving_config_for_preset` to avoid them)."""
+    warnings: list[str] = []
+    cfg = engine.config
+    chain = cfg.chain
+    gate = preset.gate
+    comp = preset.compressor
+    lim = preset.limiter
+
+    for name, want, have in (
+        ("gate_enabled", gate.enabled, chain.gate_enabled),
+        ("gate_mode", gate.gate_mode, chain.gate_mode),
+        ("auto_threshold_enabled", gate.auto_threshold_enabled,
+         chain.auto_threshold_enabled),
+        ("deesser_enabled", preset.deesser.enabled, chain.deesser_enabled),
+        ("eq_enabled", preset.eq.enabled, chain.eq_enabled),
+        ("compressor_enabled", comp.enabled, chain.compressor_enabled),
+        ("adaptive_release", comp.adaptive_release, chain.adaptive_release),
+        ("auto_makeup_enabled", comp.auto_makeup_enabled,
+         chain.auto_makeup_enabled),
+        ("sidechain_highpass_enabled", comp.sidechain_highpass_enabled,
+         chain.sidechain_highpass_enabled),
+        ("limiter_enabled", lim.enabled, chain.limiter_enabled),
+        ("careful_output_enabled", lim.careful_output_enabled,
+         chain.careful_output_enabled),
+    ):
+        if want != have:
+            warnings.append(
+                f"preset {name}={want!r} differs from the engine topology "
+                f"({have!r}); per-stream topology is static"
+            )
+    want_model = preset.rnnoise.model if preset.rnnoise.enabled else None
+    if want_model != cfg.suppressor_model:
+        warnings.append(
+            f"preset noise model {want_model!r} differs from the engine's "
+            f"{cfg.suppressor_model!r}"
+        )
+
+    engine.set_stream_params(
+        slot,
+        gate_threshold_db=gate.threshold_db,
+        gate_attack_ms=gate.attack_ms,
+        gate_release_ms=gate.release_ms,
+        vad_threshold=gate.vad_threshold,
+        vad_hold_time_ms=gate.vad_hold_time_ms,
+        gate_margin_db=gate.gate_margin_db,
+        compressor_threshold_db=comp.threshold_db,
+        compressor_ratio=comp.ratio,
+        compressor_attack_ms=comp.attack_ms,
+        compressor_release_ms=comp.release_ms,
+        compressor_makeup_gain_db=comp.makeup_gain_db,
+        compressor_target_lufs=comp.target_lufs,
+        limiter_ceiling_db=lim.ceiling_db,
+        limiter_release_ms=lim.release_ms,
+    )
+    from ..ops.eq import EqBandConfig
+
+    engine.set_stream_eq(slot, [
+        EqBandConfig(
+            EqBandConfig.type_id(b.filter_type), b.frequency_hz, b.gain_db,
+            b.q, b.slope_db_per_octave, b.enabled,
+        )
+        for b in preset.eq.bands
+    ] if preset.eq.enabled else None)
+    if cfg.suppressor_model is not None:
+        engine.set_stream_suppressor(
+            slot, strength=preset.rnnoise.strength,
+            enabled=preset.rnnoise.enabled,
+        )
+    return warnings

@@ -433,3 +433,66 @@ class TestShardedServing:
                 np.concatenate(outs_s[i]), np.concatenate(outs_p[i]),
                 atol=1e-6,
             )
+
+
+class TestServingPresets:
+    def test_config_for_preset_matches_topology(self):
+        from audioforge_tpu.config import BUILTIN_PRESETS
+        from audioforge_tpu.runtime.preset_io import serving_config_for_preset
+
+        preset = BUILTIN_PRESETS["voice"]
+        cfg = serving_config_for_preset(preset, capacity=4)
+        assert cfg.capacity == 4
+        assert cfg.chain.gate_enabled == preset.gate.enabled
+        assert cfg.chain.compressor_enabled == preset.compressor.enabled
+        assert cfg.suppressor_model == (
+            preset.rnnoise.model if preset.rnnoise.enabled else None)
+
+    def test_apply_preset_to_stream_differentiates(self):
+        """Two streams with different presets must process differently;
+        a topology-matched engine yields no warnings."""
+        from audioforge_tpu.config import BUILTIN_PRESETS
+        from audioforge_tpu.runtime.preset_io import (
+            apply_preset_to_stream,
+            serving_config_for_preset,
+        )
+
+        preset = BUILTIN_PRESETS["voice"]
+        cfg = serving_config_for_preset(preset, capacity=2,
+                                        vad_enabled=False)
+        eng = ServingEngine(cfg)
+        a_out, b_out = [], []
+        s0 = eng.attach(sink=lambda blk: a_out.append(blk.copy()))
+        s1 = eng.attach(sink=lambda blk: b_out.append(blk.copy()))
+        warnings = apply_preset_to_stream(eng, s0, preset)
+        assert warnings == [], warnings
+        # stream 1: same preset but a hard limiter ceiling
+        import dataclasses
+
+        limited = dataclasses.replace(
+            preset, limiter=dataclasses.replace(preset.limiter,
+                                                ceiling_db=-20.0))
+        apply_preset_to_stream(eng, s1, limited)
+        x = _tone(6, amp=0.9)
+        for i in range(6):
+            blk = x[i * BLOCK:(i + 1) * BLOCK]
+            eng.push(s0, blk)
+            eng.push(s1, blk)
+            eng.step()
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        assert np.max(np.abs(b)) < np.max(np.abs(a)) - 0.05
+
+    def test_topology_mismatch_warns(self):
+        from audioforge_tpu.config import BUILTIN_PRESETS
+        from audioforge_tpu.runtime.preset_io import apply_preset_to_stream
+
+        preset = BUILTIN_PRESETS["voice"]
+        cfg = ServingConfig(capacity=1, suppressor_model=None,
+                            vad_enabled=False,
+                            chain=_chain_cfg(compressor_enabled=False))
+        eng = ServingEngine(cfg)
+        s = eng.attach()
+        warnings = apply_preset_to_stream(eng, s, preset)
+        assert any("compressor_enabled" in w for w in warnings)
+        assert any("noise model" in w for w in warnings)
