@@ -1,6 +1,6 @@
 """Application config persistence (device routing, UI state, first-run setup).
 
-Mirrors `python/mic_eq/config_parts/app_config.py`:
+Behavioral contract of `python/mic_eq/config_parts/app_config.py`:
 
 - `AppConfig` holds the last device route (names + rename-stable
   identities), channel/cleanup modes, preset bookkeeping, voice-setup
@@ -13,6 +13,11 @@ Mirrors `python/mic_eq/config_parts/app_config.py`:
 - Existing installs that predate first-run setup are marked
   ``completed_with_skips`` so they never see the wizard
   (`app_config.py:226-229`, `323-332`).
+
+The implementation here is spec-table driven: every simple persisted field
+declares its default and sanitiser once in ``_SCALAR_FIELDS``; only the
+cross-field logic (identity fallbacks, route-keyed dicts, the wizard
+migration) is hand-written.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import json
 import math
 import os
 import tempfile
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from pathlib import Path
 
 from .settings import LatencyCalibrationProfile
@@ -49,30 +54,6 @@ FIRST_RUN_SETUP_STATES = frozenset(
 FIRST_RUN_SETUP_STEPS = ("devices", "route", "latency", "voice")
 FIRST_RUN_STEP_STATES = frozenset({"pending", "completed", "skipped"})
 
-# Any of these in a stored config marks a pre-setup-era install.
-_PRE_SETUP_CONFIG_FIELDS = frozenset(
-    {
-        "last_input_device",
-        "last_output_device",
-        "last_input_device_identity",
-        "last_output_device_identity",
-        "input_channel_mode",
-        "input_cleanup_mode",
-        "last_preset",
-        "startup_preset",
-        "window_geometry",
-        "main_splitter_sizes",
-        "main_control_tab_index",
-        "use_measured_latency",
-        "voice_setup_dynamics_intensity",
-        "voice_setup_custom_p95_db",
-        "voice_setup_custom_peak_cap_db",
-        "latency_calibration_profiles",
-        "auto_apply_device_presets",
-        "device_preset_bindings",
-    }
-)
-
 __all__ = [
     "AppConfig",
     "DevicePresetBinding",
@@ -85,6 +66,71 @@ __all__ = [
     "save_config",
 ]
 
+
+# ------------------------------------------------------------ sanitisers
+
+
+def _enum(allowed: frozenset, default: str):
+    def coerce(value):
+        return value if isinstance(value, str) and value in allowed else default
+    return coerce
+
+
+def _bounded_float(default: float, low: float, high: float):
+    def coerce(value):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return default
+        parsed = float(value)
+        return parsed if math.isfinite(parsed) and low <= parsed <= high else default
+    return coerce
+
+
+def _bounded_int(default: int, low: int, high: int):
+    def coerce(value):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return default
+        numeric = float(value)
+        if not math.isfinite(numeric):
+            return default
+        parsed = int(numeric)
+        return parsed if low <= parsed <= high else default
+    return coerce
+
+
+def _bool_default(default: bool):
+    def coerce(value):
+        return _coerce_config_bool(value, default)
+    return coerce
+
+
+def _text(value):
+    return value if isinstance(value, str) else ""
+
+
+def _splitter_sizes(value):
+    if not isinstance(value, (list, tuple)) or len(value) != 2:
+        return None
+    to_int = _bounded_int(-1, 0, 1_000_000)
+    parsed = [to_int(size) for size in value]
+    return parsed if min(parsed) >= 0 else None
+
+
+# Simple persisted fields: name -> sanitiser. from_dict applies these
+# uniformly; anything NOT in this table has bespoke handling below.
+_SCALAR_FIELDS = {
+    "input_channel_mode": _enum(INPUT_CHANNEL_MODES, "average"),
+    "input_cleanup_mode": _enum(INPUT_CLEANUP_MODES, "off"),
+    "last_preset": _text,
+    "startup_preset": _text,
+    "window_geometry": _coerce_window_geometry,
+    "main_splitter_sizes": _splitter_sizes,
+    "main_control_tab_index": _bounded_int(0, 0, 64),
+    "use_measured_latency": _bool_default(True),
+    "voice_setup_dynamics_intensity": _enum(DYNAMICS_INTENSITIES, "balanced"),
+    "voice_setup_custom_p95_db": _bounded_float(3.5, 1.0, 8.0),
+    "voice_setup_custom_peak_cap_db": _bounded_float(8.0, 1.5, 12.0),
+    "auto_apply_device_presets": _bool_default(True),
+}
 
 @dataclass(frozen=True, slots=True)
 class DevicePresetBinding:
@@ -113,66 +159,45 @@ class DevicePresetBinding:
         return cls(preset_id=preset_id, provenance=provenance)
 
 
-def _coerce_input_channel_mode(value) -> str:
-    return value if isinstance(value, str) and value in INPUT_CHANNEL_MODES else "average"
+def _route_keyed(raw, parse_value, rebuild_key):
+    """Decode a route-keyed dict: drop entries whose value fails to parse
+    or whose key parses to no route; surviving keys are re-serialised into
+    the canonical structured format (migrating legacy ``a||b`` keys)."""
+    out = {}
+    if not isinstance(raw, dict):
+        return out
+    for key, value in raw.items():
+        parsed = parse_value(value)
+        if parsed is None:
+            continue
+        devices = parse_latency_profile_key(str(key))
+        if devices is None:
+            continue
+        out[rebuild_key(*devices)] = parsed
+    return out
 
 
-def _coerce_input_cleanup_mode(value) -> str:
-    return value if isinstance(value, str) and value in INPUT_CLEANUP_MODES else "off"
-
-
-def _coerce_float(value, default: float, low: float, high: float) -> float:
-    if isinstance(value, bool) or not isinstance(value, (int, float)):
-        return default
-    parsed = float(value)
-    if not math.isfinite(parsed) or not low <= parsed <= high:
-        return default
-    return parsed
-
-
-def _coerce_int(value, default: int, low: int, high: int) -> int:
-    if isinstance(value, bool) or not isinstance(value, (int, float)):
-        return default
-    numeric = float(value)
-    if not math.isfinite(numeric):
-        return default
-    parsed = int(numeric)
-    return parsed if low <= parsed <= high else default
-
-
-def _coerce_splitter_sizes(value) -> list[int] | None:
-    if not isinstance(value, (list, tuple)) or len(value) != 2:
+def _parse_profile(value):
+    try:
+        return LatencyCalibrationProfile.from_dict(value)
+    except (KeyError, TypeError, ValueError, PresetValidationError):
         return None
-    parsed = [_coerce_int(size, -1, 0, 1_000_000) for size in value]
-    return parsed if all(size >= 0 for size in parsed) else None
 
 
-def _coerce_dynamics_intensity(value) -> str:
-    return (
-        value
-        if isinstance(value, str) and value in DYNAMICS_INTENSITIES
-        else "balanced"
-    )
-
-
-def _coerce_first_run_steps(value) -> dict[str, str]:
-    source = value if isinstance(value, dict) else {}
-    return {
-        step: (
-            str(source.get(step))
-            if str(source.get(step)) in FIRST_RUN_STEP_STATES
-            else "pending"
-        )
-        for step in FIRST_RUN_SETUP_STEPS
-    }
-
-
-def _coerce_device_name(value, identity: DeviceIdentity | None) -> str:
+def _safe_device_name(value, identity: DeviceIdentity | None) -> str:
     if isinstance(value, str):
         name = value.strip()
         if name and len(name) <= 4096 and "\x00" not in name:
             return name
     return identity.name if identity is not None else ""
+
+
+def _identity_with_fallback(data: dict, side: str) -> DeviceIdentity | None:
+    """Prefer the structured identity; fall back to the bare name field."""
+    parsed = coerce_device_identity(data.get(f"last_{side}_device_identity"))
+    if parsed is None:
+        parsed = coerce_device_identity(data.get(f"last_{side}_device"))
+    return parsed
 
 
 @dataclass
@@ -208,156 +233,98 @@ class AppConfig:
     )
 
     def to_dict(self) -> dict:
-        def identity(value):
-            return value.to_dict() if value is not None else None
-
-        return {
-            "last_input_device": self.last_input_device,
-            "last_output_device": self.last_output_device,
-            "last_input_device_identity": identity(self.last_input_device_identity),
-            "last_output_device_identity": identity(self.last_output_device_identity),
-            "input_channel_mode": self.input_channel_mode,
-            "input_cleanup_mode": self.input_cleanup_mode,
-            "last_preset": self.last_preset,
-            "startup_preset": self.startup_preset,
-            "window_geometry": self.window_geometry,
-            "main_splitter_sizes": self.main_splitter_sizes,
-            "main_control_tab_index": self.main_control_tab_index,
-            "use_measured_latency": self.use_measured_latency,
-            "voice_setup_dynamics_intensity": self.voice_setup_dynamics_intensity,
-            "voice_setup_custom_p95_db": self.voice_setup_custom_p95_db,
-            "voice_setup_custom_peak_cap_db": self.voice_setup_custom_peak_cap_db,
-            "latency_calibration_profiles": {
-                key: profile.to_dict()
-                for key, profile in self.latency_calibration_profiles.items()
-            },
-            "auto_apply_device_presets": self.auto_apply_device_presets,
-            "device_preset_bindings": {
-                key: binding.to_dict()
-                for key, binding in self.device_preset_bindings.items()
-            },
-            "first_run_setup_state": self.first_run_setup_state,
-            "first_run_setup_step": self.first_run_setup_step,
-            "first_run_setup_steps": dict(self.first_run_setup_steps),
-        }
+        out = {}
+        for spec in fields(self):
+            value = getattr(self, spec.name)
+            if isinstance(value, DeviceIdentity):
+                value = value.to_dict()
+            elif spec.name == "latency_calibration_profiles":
+                value = {k: p.to_dict() for k, p in value.items()}
+            elif spec.name == "device_preset_bindings":
+                value = {k: b.to_dict() for k, b in value.items()}
+            elif spec.name == "first_run_setup_steps":
+                value = dict(value)
+            out[spec.name] = value
+        return out
 
     @classmethod
     def from_dict(cls, data) -> "AppConfig":
         if not isinstance(data, dict):
             return cls()
 
-        # Installs predating the wizard skip it (`app_config.py:226-229`).
-        migrated_existing_install = "first_run_setup_state" not in data and bool(
-            _PRE_SETUP_CONFIG_FIELDS.intersection(data)
-        )
+        kwargs = {
+            name: coerce(data.get(name))
+            for name, coerce in _SCALAR_FIELDS.items()
+        }
 
-        input_identity = coerce_device_identity(data.get("last_input_device_identity"))
-        if input_identity is None:
-            input_identity = coerce_device_identity(data.get("last_input_device"))
-        output_identity = coerce_device_identity(
-            data.get("last_output_device_identity")
-        )
-        if output_identity is None:
-            output_identity = coerce_device_identity(data.get("last_output_device"))
-
-        # Latency profiles: keep entries whose keys parse (legacy `a||b`
-        # keys are re-serialised into the structured route-key format).
-        raw_profiles = data.get("latency_calibration_profiles", {}) or {}
-        parsed_profiles: dict[str, LatencyCalibrationProfile] = {}
-        if isinstance(raw_profiles, dict):
-            for key, value in raw_profiles.items():
-                try:
-                    profile = LatencyCalibrationProfile.from_dict(value)
-                except (KeyError, TypeError, ValueError, PresetValidationError):
-                    continue
-                devices = parse_latency_profile_key(str(key))
-                if devices is None:
-                    continue
-                parsed_profiles[build_latency_profile_key(*devices)] = profile
-
-        raw_bindings = data.get("device_preset_bindings", {}) or {}
-        parsed_bindings: dict[str, DevicePresetBinding] = {}
-        if isinstance(raw_bindings, dict):
-            for key, value in raw_bindings.items():
-                binding = DevicePresetBinding.from_value(value)
-                if binding is None:
-                    continue
-                devices = parse_latency_profile_key(str(key))
-                if devices is None:
-                    continue
-                parsed_bindings[build_device_route_key(*devices)] = binding
-
-        first_run_steps = _coerce_first_run_steps(data.get("first_run_setup_steps"))
-        if migrated_existing_install:
-            first_run_steps = {step: "skipped" for step in FIRST_RUN_SETUP_STEPS}
-
-        if migrated_existing_install:
-            setup_state = "completed_with_skips"
-        else:
-            setup_state = str(data.get("first_run_setup_state"))
-            if setup_state not in FIRST_RUN_SETUP_STATES:
-                setup_state = "not_started"
-        setup_step = str(data.get("first_run_setup_step"))
-        if setup_step not in FIRST_RUN_SETUP_STEPS:
-            setup_step = "devices"
-
-        def text(key: str) -> str:
-            value = data.get(key, "")
-            return value if isinstance(value, str) else ""
-
-        return cls(
-            last_input_device=_coerce_device_name(
+        input_identity = _identity_with_fallback(data, "input")
+        output_identity = _identity_with_fallback(data, "output")
+        kwargs.update(
+            last_input_device=_safe_device_name(
                 data.get("last_input_device"), input_identity
             ),
-            last_output_device=_coerce_device_name(
+            last_output_device=_safe_device_name(
                 data.get("last_output_device"), output_identity
             ),
             last_input_device_identity=input_identity,
             last_output_device_identity=output_identity,
-            input_channel_mode=_coerce_input_channel_mode(
-                data.get("input_channel_mode")
+            latency_calibration_profiles=_route_keyed(
+                data.get("latency_calibration_profiles") or {},
+                _parse_profile, build_latency_profile_key,
             ),
-            input_cleanup_mode=_coerce_input_cleanup_mode(
-                data.get("input_cleanup_mode")
+            device_preset_bindings=_route_keyed(
+                data.get("device_preset_bindings") or {},
+                DevicePresetBinding.from_value, build_device_route_key,
             ),
-            last_preset=text("last_preset"),
-            startup_preset=text("startup_preset"),
-            window_geometry=_coerce_window_geometry(data.get("window_geometry")),
-            main_splitter_sizes=_coerce_splitter_sizes(
-                data.get("main_splitter_sizes")
-            ),
-            main_control_tab_index=_coerce_int(
-                data.get("main_control_tab_index", 0), 0, 0, 64
-            ),
-            use_measured_latency=_coerce_config_bool(
-                data.get("use_measured_latency", True), True
-            ),
-            voice_setup_dynamics_intensity=_coerce_dynamics_intensity(
-                data.get("voice_setup_dynamics_intensity")
-            ),
-            voice_setup_custom_p95_db=_coerce_float(
-                data.get("voice_setup_custom_p95_db"), 3.5, 1.0, 8.0
-            ),
-            voice_setup_custom_peak_cap_db=_coerce_float(
-                data.get("voice_setup_custom_peak_cap_db"), 8.0, 1.5, 12.0
-            ),
-            latency_calibration_profiles=parsed_profiles,
-            auto_apply_device_presets=_coerce_config_bool(
-                data.get("auto_apply_device_presets", True), True
-            ),
-            device_preset_bindings=parsed_bindings,
-            first_run_setup_state=setup_state,
-            first_run_setup_step=setup_step,
-            first_run_setup_steps=first_run_steps,
         )
+
+        # First-run wizard state machine. Installs predating the wizard are
+        # recognised by having any persisted field but no setup state; they
+        # skip the wizard forever (`app_config.py:226-229`).
+        pre_wizard_fields = (set(_SCALAR_FIELDS)
+                             | {"last_input_device", "last_output_device",
+                                "last_input_device_identity",
+                                "last_output_device_identity",
+                                "latency_calibration_profiles",
+                                "device_preset_bindings"})
+        migrated = ("first_run_setup_state" not in data
+                    and bool(pre_wizard_fields & set(data)))
+        if migrated:
+            kwargs.update(
+                first_run_setup_state="completed_with_skips",
+                first_run_setup_steps={
+                    step: "skipped" for step in FIRST_RUN_SETUP_STEPS
+                },
+            )
+        else:
+            raw_steps = data.get("first_run_setup_steps")
+            steps_in = raw_steps if isinstance(raw_steps, dict) else {}
+            kwargs.update(
+                first_run_setup_state=_enum(
+                    FIRST_RUN_SETUP_STATES, "not_started"
+                )(str(data.get("first_run_setup_state"))),
+                first_run_setup_steps={
+                    step: (str(steps_in.get(step))
+                           if str(steps_in.get(step)) in FIRST_RUN_STEP_STATES
+                           else "pending")
+                    for step in FIRST_RUN_SETUP_STEPS
+                },
+            )
+        step = str(data.get("first_run_setup_step"))
+        kwargs["first_run_setup_step"] = (
+            step if step in FIRST_RUN_SETUP_STEPS else "devices"
+        )
+        return cls(**kwargs)
 
 
 def save_config(config: AppConfig) -> None:
-    """Atomic config write (`app_config.py:342-362`)."""
+    """Atomic config write: temp file + fsync + rename
+    (`app_config.py:342-362`)."""
     filepath = get_config_file()
     filepath.parent.mkdir(parents=True, exist_ok=True)
     fd, tmp_name = tempfile.mkstemp(
-        prefix=f".{filepath.name}.", suffix=".tmp", dir=filepath.parent, text=True
+        prefix=f".{filepath.name}.", suffix=".tmp", dir=filepath.parent,
+        text=True,
     )
     tmp = Path(tmp_name)
     try:

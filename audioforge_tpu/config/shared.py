@@ -1,9 +1,12 @@
 """Shared config primitives: versioning, persistence paths, device identity.
 
-Mirrors `python/mic_eq/config_parts/shared.py`: `CURRENT_VERSION` 1.11.2,
-APPDATA-style config dir with legacy-dir migration (`shared.py:38-75`),
-rename-stable `DeviceIdentity` keyed on Core-Audio-style endpoint ids
-(`shared.py:77-185`), and deterministic per-route latency-profile keys.
+Behavioral contract of `python/mic_eq/config_parts/shared.py`: version
+string 1.11.2, APPDATA-style config dir with one-time legacy-dir migration
+(`shared.py:38-75`), rename-stable ``DeviceIdentity`` keyed on
+Core-Audio-style endpoint ids (`shared.py:77-185`), and deterministic
+per-route latency-profile keys (legacy ``a||b`` names or canonical JSON).
+The persisted field names, key formats, and sanitisation outcomes are the
+compat surface; the implementation is the framework's own.
 """
 
 from __future__ import annotations
@@ -47,14 +50,20 @@ def _reject_json_constant(value: str) -> None:
 
 
 def _version_tuple(version: str) -> tuple[int, int, int]:
-    parts = str(version).split(".")
-    out = []
-    for i in range(3):
+    """``"1.11.2" -> (1, 11, 2)``; malformed segments become 0 so version
+    ordering never throws on user-edited files."""
+    def seg(text: str) -> int:
         try:
-            out.append(int(parts[i]))
-        except (IndexError, ValueError):
-            out.append(0)
-    return tuple(out)  # type: ignore[return-value]
+            return int(text)
+        except ValueError:
+            return 0
+
+    parts = [seg(p) for p in str(version).split(".")[:3]]
+    parts += [0] * (3 - len(parts))
+    return parts[0], parts[1], parts[2]
+
+
+# ------------------------------------------------------------------ paths
 
 
 def _config_base_dir() -> Path:
@@ -64,32 +73,66 @@ def _config_base_dir() -> Path:
 
 
 def _config_dir() -> Path:
+    """Config root, migrating the legacy MicEq tree once if present."""
     base = _config_base_dir()
-    cfg = base / APPDATA_DIR_NAME
-    legacy = base / LEGACY_APPDATA_DIR_NAME
-    if not cfg.exists() and legacy.exists():
-        try:
-            shutil.copytree(legacy, cfg)
-        except OSError:
-            pass
-    cfg.mkdir(parents=True, exist_ok=True)
-    return cfg
+    root = base / APPDATA_DIR_NAME
+    if not root.exists():
+        legacy = base / LEGACY_APPDATA_DIR_NAME
+        if legacy.exists():
+            try:
+                shutil.copytree(legacy, root)
+            except OSError:
+                pass  # fall through to a fresh directory
+    root.mkdir(parents=True, exist_ok=True)
+    return root
+
+
+def _ensured_subdir(parent: Path, name: str) -> Path:
+    sub = parent / name
+    sub.mkdir(parents=True, exist_ok=True)
+    return sub
 
 
 def get_presets_dir() -> Path:
-    d = _config_dir() / "presets"
-    d.mkdir(parents=True, exist_ok=True)
-    return d
+    return _ensured_subdir(_config_dir(), "presets")
 
 
 def get_preset_imports_dir() -> Path:
-    d = get_presets_dir().parent / "imports"
-    d.mkdir(parents=True, exist_ok=True)
-    return d
+    return _ensured_subdir(get_presets_dir().parent, "imports")
 
 
 def get_config_file() -> Path:
     return _config_dir() / "config.json"
+
+
+# -------------------------------------------------------- device identity
+
+# sanitisation bounds for the optional numeric diagnostics fields
+_FIELD_MAXIMA = {
+    "sample_rate": 0xFFFFFFFF,
+    "channels": 0xFFFF,
+    "name_ordinal": 0xFFFFFFFF,
+}
+_DIRECTIONS = frozenset({"", "input", "output"})
+
+
+def _clean_str(value) -> str:
+    return value.strip() if isinstance(value, str) else ""
+
+
+def _clean_opt_int(value, maximum: int) -> int | None:
+    """Accept int/float/str encodings of a whole number in [0, maximum];
+    anything else (bool included) is dropped, never raises."""
+    if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+        return None
+    try:
+        numeric = float(value)
+    except (TypeError, ValueError, OverflowError):
+        return None
+    if not (math.isfinite(numeric) and numeric.is_integer()):
+        return None
+    as_int = int(numeric)
+    return as_int if 0 <= as_int <= maximum else None
 
 
 @dataclass
@@ -98,6 +141,7 @@ class DeviceIdentity:
     across renames (`shared.py:77-185`)."""
 
     name: str = ""
+    # default-route status is transient policy, excluded from equality
     is_default: bool = field(default=False, compare=False)
     endpoint_id: str = ""
     host_api: str = ""
@@ -120,76 +164,62 @@ class DeviceIdentity:
         }
 
     def stable_dict(self) -> dict:
-        """Rename-stable fields for route/profile keys."""
+        """Rename-stable projection for route/profile keys: endpoint id when
+        present, otherwise the whitespace-normalised casefolded name plus
+        any disambiguators that exist."""
         if self.endpoint_id:
             return {
                 "endpoint_id": self.endpoint_id,
                 "host_api": self.host_api.casefold(),
                 "direction": self.direction.casefold(),
             }
-        out: dict = {"name": " ".join(self.name.casefold().split())}
-        if self.host_api:
-            out["host_api"] = self.host_api.casefold()
-        if self.direction:
-            out["direction"] = self.direction.casefold()
-        if self.name_ordinal is not None:
-            out["name_ordinal"] = self.name_ordinal
-        return out
+        optional = {
+            "host_api": self.host_api.casefold() or None,
+            "direction": self.direction.casefold() or None,
+            "name_ordinal": self.name_ordinal,
+        }
+        return {
+            "name": " ".join(self.name.casefold().split()),
+            **{k: v for k, v in optional.items() if v is not None},
+        }
 
     @classmethod
     def from_dict(cls, data) -> "DeviceIdentity | None":
         if isinstance(data, cls):
             return data if data.name else None
         if isinstance(data, str):
-            name = data.strip()
-            return cls(name=name) if name else None
+            trimmed = data.strip()
+            return cls(name=trimmed) if trimmed else None
         if not isinstance(data, dict):
             return None
-        raw_name = data.get("name", "")
-        if not isinstance(raw_name, str):
-            return None
-        name = raw_name.strip()
-        if not name:
+
+        name = data.get("name", "")
+        if not isinstance(name, str) or not name.strip():
             return None
 
-        def opt_int(value, maximum):
-            if isinstance(value, bool) or not isinstance(value, (int, float, str)):
-                return None
-            try:
-                n = float(value)
-            except (TypeError, ValueError, OverflowError):
-                return None
-            if not math.isfinite(n) or not n.is_integer():
-                return None
-            p = int(n)
-            return p if 0 <= p <= maximum else None
-
-        direction = data.get("direction", "")
-        direction = direction.strip().casefold() if isinstance(direction, str) else ""
-        if direction not in {"", "input", "output"}:
+        direction = _clean_str(data.get("direction", "")).casefold()
+        if direction not in _DIRECTIONS:
             direction = ""
-        endpoint_id = data.get("endpoint_id", "")
-        host_api = data.get("host_api", "")
-        return cls(
-            name=name,
-            is_default=(
-                data.get("is_default", False)
-                if isinstance(data.get("is_default", False), bool)
-                else False
-            ),
-            endpoint_id=endpoint_id.strip() if isinstance(endpoint_id, str) else "",
-            host_api=host_api.strip() if isinstance(host_api, str) else "",
-            direction=direction,
-            sample_rate=opt_int(data.get("sample_rate"), 0xFFFFFFFF),
-            channels=opt_int(data.get("channels"), 0xFFFF),
-            name_ordinal=opt_int(data.get("name_ordinal"), 0xFFFFFFFF),
-        )
+        default_flag = data.get("is_default", False)
+        kwargs = {
+            "name": name.strip(),
+            "is_default": default_flag if isinstance(default_flag, bool) else False,
+            "endpoint_id": _clean_str(data.get("endpoint_id", "")),
+            "host_api": _clean_str(data.get("host_api", "")),
+            "direction": direction,
+        }
+        for key, maximum in _FIELD_MAXIMA.items():
+            kwargs[key] = _clean_opt_int(data.get(key), maximum)
+        return cls(**kwargs)
 
 
 def coerce_device_identity(data) -> DeviceIdentity | None:
-    if isinstance(data, (DeviceIdentity, dict, str)) or data is None:
+    if data is None or isinstance(data, (DeviceIdentity, dict, str)):
         return DeviceIdentity.from_dict(data)
     return None
+
+
+# ------------------------------------------------------------- route keys
 
 
 def legacy_latency_profile_key(input_name: str, output_name: str) -> str:
@@ -197,27 +227,42 @@ def legacy_latency_profile_key(input_name: str, output_name: str) -> str:
 
 
 def build_device_route_key(input_device, output_device) -> str:
-    payload = {
-        "input": input_device.stable_dict() if input_device is not None else None,
-        "output": output_device.stable_dict() if output_device is not None else None,
+    """Canonical JSON key for an endpoint pair; ``None`` sides persist as
+    JSON null so half-bound routes stay representable."""
+    sides = {
+        side: dev.stable_dict() if dev is not None else None
+        for side, dev in (("input", input_device), ("output", output_device))
     }
-    return json.dumps(payload, sort_keys=True, separators=(",", ":"))
+    return json.dumps(sides, sort_keys=True, separators=(",", ":"))
 
 
 def build_latency_profile_key(input_device, output_device) -> str:
     return build_device_route_key(input_device, output_device)
 
 
+def _identity_from_key_side(value):
+    """Decode one side of a structured route key. Returns (identity, ok):
+    ``None`` is a valid empty side; an undecodable payload is invalid."""
+    if value is None:
+        return None, True
+    if isinstance(value, dict) and value.get("endpoint_id") and not value.get("name"):
+        # stable endpoint keys omit rename-prone names; synthesise a
+        # non-persisted placeholder so the normal validator accepts it
+        value = dict(value, name=f"endpoint:{value['endpoint_id']}")
+    parsed = coerce_device_identity(value)
+    return parsed, parsed is not None
+
+
 def parse_latency_profile_key(key: str):
-    """Parse a latency profile key from legacy (``a||b``) or structured
-    format (`shared.py:196-260`)."""
+    """Parse a latency profile key — legacy ``a||b`` name pairs or the
+    structured JSON format (`shared.py:196-260`). Returns ``(input, output)``
+    identities or None when the key is unusable."""
     text = str(key)
     if "||" in text:
-        a, b = text.split("||", 1)
-        di, do = coerce_device_identity(a), coerce_device_identity(b)
-        if di is None or do is None:
-            return None
-        return di, do
+        left, right = text.split("||", 1)
+        pair = (coerce_device_identity(left), coerce_device_identity(right))
+        return None if None in pair else pair
+
     try:
         payload = json.loads(text)
     except json.JSONDecodeError:
@@ -225,18 +270,8 @@ def parse_latency_profile_key(key: str):
     if not isinstance(payload, dict) or set(payload) != {"input", "output"}:
         return None
 
-    def parse(value):
-        if value is None:
-            return None, True
-        candidate = value
-        if isinstance(value, dict) and value.get("endpoint_id") and not value.get("name"):
-            # stable endpoint keys omit rename-prone names; synthesise one
-            candidate = {**value, "name": f"endpoint:{value['endpoint_id']}"}
-        parsed = coerce_device_identity(candidate)
-        return parsed, parsed is not None
-
-    di, iok = parse(payload.get("input"))
-    do, ook = parse(payload.get("output"))
-    if not iok or not ook or di is None or do is None:
+    din, ok_in = _identity_from_key_side(payload.get("input"))
+    dout, ok_out = _identity_from_key_side(payload.get("output"))
+    if not (ok_in and ok_out) or din is None or dout is None:
         return None
-    return di, do
+    return din, dout

@@ -202,9 +202,11 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
     n = jnp.tanh(gates[..., 2 * _HIDDEN :] - (1 - r) * (h @ params["gru_wh"][:, 2 * _HIDDEN :]))
     h_new = (1 - z) * n + z * h
 
-    # ERB gain decoder with attenuation limit (gain floor)
-    gain_floor = jnp.power(10.0, -jnp.asarray(atten_lim_db, jnp.float32) / 20.0)
-    erb_gains = gain_floor + (1.0 - gain_floor) * jax.nn.sigmoid(
+    # ERB gain decoder: raw sigmoid gains. The attenuation limit is applied
+    # exactly once, as the noisy-spectrum mix below (DeepFilterNet's
+    # df_set_atten_lim semantics) — flooring the gains here too would halve
+    # the configured maximum suppression in dB.
+    erb_gains = jax.nn.sigmoid(
         h_new @ params["erb_dec_w"] + params["erb_dec_b"]
     )
     bin_gains = erb_gains @ _ERB_SPREAD.T  # [..., 481]
@@ -232,10 +234,11 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
     beta = jnp.asarray(post_filter_beta, jnp.float32)
     pf = bin_gains * (1.0 + beta) / (1.0 + beta * jnp.square(bin_gains / jnp.maximum(bin_gains.max(axis=-1, keepdims=True), 1e-6)))
     Y = jnp.where(beta > 0, X * pf, Y)
-    # attenuation limit: mix the noisy spectrum back in so no bin is
-    # attenuated by more than the configured limit — the gain floor above
-    # does not bound the deep-filtering stage, this does
+    # attenuation limit, applied once: mix the noisy spectrum back in so no
+    # bin is attenuated by more than the configured limit — this bounds the
+    # ERB gains AND the deep-filtering stage together
     # (DeepFilterNet's df_set_atten_lim semantics, `deepfilter_ffi.rs:44-63`)
+    gain_floor = jnp.power(10.0, -jnp.asarray(atten_lim_db, jnp.float32) / 20.0)
     Y = gain_floor * X + (1.0 - gain_floor) * Y
 
     y = irdft_auto(Y, WINDOW_SIZE).astype(jnp.float32) * _WINDOW

@@ -107,6 +107,20 @@ def run_seeded_control_dsp_stress(
     model_switches = 0
     suppressor_resets = 0
     try:
+        # Pre-warm: the storm below cuts several compiled-step variants
+        # (de-esser re-specialisation, bypass topology); without real blocks
+        # flowing first, compile time can eat the whole run and the report
+        # certifies nothing (the reference's equivalent processes 600 live
+        # updates against running DSP, `stress_tests.rs:12-25`). Wait until
+        # the tone source has actually been processed.
+        warm_deadline = time.time() + 300.0
+        while (processor._counters["blocks_processed"] < 10
+               and time.time() < warm_deadline):
+            time.sleep(0.02)
+        if processor._counters["blocks_processed"] == 0:
+            raise RuntimeError(
+                "stress pre-warm processed no blocks within 300 s"
+            )
         for _ in range(iterations):
             kind = rng.choice(10)
             if kind == 0:
@@ -149,9 +163,13 @@ def run_seeded_control_dsp_stress(
             if rng.choice(4) == 0:
                 time.sleep(0.001)
         processor.set_bypass(False)
-        # let the DSP thread drain the final control state
+        # let the DSP thread drain the final control state AND accumulate a
+        # meaningful processed-block count (>= 120 blocks = 1.2 s of audio)
+        # so downstream gates can require real work, not a vacuous pass
         deadline = time.time() + 120.0
-        target_blocks = processor._counters["blocks_processed"] + 5
+        target_blocks = max(
+            processor._counters["blocks_processed"] + 5, 120
+        )
         while (processor._counters["blocks_processed"] < target_blocks
                and time.time() < deadline):
             time.sleep(0.02)

@@ -1,16 +1,32 @@
-"""Compact health-chip decision logic for runtime metering.
+"""Health-chip decision logic for runtime metering (headless).
 
-Mirrors `python/mic_eq/ui/health.py`: pure functions mapping diagnostics to
-``(text, state)`` where state is one of ``bad``/``warn``/``info``/``ok``/
-``idle`` — the exact precedence order of the reference decision ladders.
+Behavioral contract mirrored from `python/mic_eq/ui/health.py`: diagnostics
+map to a ``(text, state)`` chip where state is one of ``bad`` / ``warn`` /
+``info`` / ``ok`` / ``idle``. The chip strings and thresholds are the compat
+surface (UI snapshot tests and user-facing docs pin them); the evaluation is
+expressed here as an ordered rule ladder — the first rule whose condition
+holds wins, encoding the reference's precedence (clipping beats phase beats
+cleanup beats level windows, etc.).
 """
 
 from __future__ import annotations
 
 __all__ = ["input_health_state", "output_health_state"]
 
+# Level thresholds (dBFS unless noted) shared with the reference chips.
+_IN_LOW_RMS = -65.0
+_IN_HOT_RMS = -3.0
+_IN_DENSE_RMS = -45.0          # density check only engages above this level
+_IN_DENSE_CREST = 3.0          # ...when the crest factor collapses below this
+_OUT_HOT_RMS = -1.0
+_OUT_TP_HEADROOM_MIN = 0.75    # dB of true-peak headroom before warning
+_OUT_LIMITER_HARD = 6.0        # dB of recent main-limiter GR
+_OUT_TP_LIMITER_HARD = 3.0     # dB of recent true-peak-limiter GR
+_LUFS_DISPLAY_FLOOR = -119.0   # below this the LUFS readout is meaningless
 
-def _float_or_none(value):
+
+def _as_float(value):
+    """Best-effort float coercion; diagnostics may carry None/str/NaN."""
     try:
         return float(value)
     except (TypeError, ValueError):
@@ -27,27 +43,36 @@ def input_health_state(
     cleanup_mode: str = "off",
     crest_factor_db=None,
 ) -> tuple[str, str]:
-    """Input chip (`health.py:17-45`): clipping > phase rescue > cleanup
-    events > level window > density check."""
-    if clip_delta:
-        return "Input: CLIPPING", "bad"
-    if phase_rescue_active:
-        return "Input: PHASE", "warn"
-    if cleanup_rumble_detected:
-        severity = "warn" if cleanup_mode == "strong" else "info"
-        return "Input: CLEANUP RUMBLE", severity
-    if cleanup_hum_detected:
-        return "Input: CLEANUP HUM", "info"
-    if rms_db is None:
-        return "Input: --", "idle"
-    if rms_db < -65.0:
-        return f"Input: LOW ({rms_db:.0f}dB)", "warn"
-    if rms_db > -3.0:
-        return f"Input: HOT ({rms_db:.0f}dB)", "warn"
-    if crest_factor_db is not None and rms_db > -45.0 and crest_factor_db < 3.0:
-        return f"Input: DENSE (CF:{crest_factor_db:.1f}dB)", "warn"
-    suffix = f" CF:{crest_factor_db:.0f}" if crest_factor_db is not None else ""
-    return f"Input: OK ({rms_db:.0f}dB{suffix})", "ok"
+    """Input chip ladder: clipping → phase rescue → cleanup events →
+    level window → density → OK."""
+    level = _as_float(rms_db)
+    crest = _as_float(crest_factor_db)
+
+    rules = (
+        (clip_delta,
+         lambda: ("Input: CLIPPING", "bad")),
+        (phase_rescue_active,
+         lambda: ("Input: PHASE", "warn")),
+        (cleanup_rumble_detected,
+         lambda: ("Input: CLEANUP RUMBLE",
+                  "warn" if cleanup_mode == "strong" else "info")),
+        (cleanup_hum_detected,
+         lambda: ("Input: CLEANUP HUM", "info")),
+        (level is None,
+         lambda: ("Input: --", "idle")),
+        (level is not None and level < _IN_LOW_RMS,
+         lambda: (f"Input: LOW ({level:.0f}dB)", "warn")),
+        (level is not None and level > _IN_HOT_RMS,
+         lambda: (f"Input: HOT ({level:.0f}dB)", "warn")),
+        (level is not None and crest is not None
+         and level > _IN_DENSE_RMS and crest < _IN_DENSE_CREST,
+         lambda: (f"Input: DENSE (CF:{crest:.1f}dB)", "warn")),
+    )
+    for hit, render in rules:
+        if hit:
+            return render()
+    crest_part = "" if crest is None else f" CF:{crest:.0f}"
+    return f"Input: OK ({level:.0f}dB{crest_part})", "ok"
 
 
 def output_health_state(
@@ -63,32 +88,38 @@ def output_health_state(
     limiter_history_db: float = 0.0,
     true_peak_limiter_history_db: float = 0.0,
 ) -> tuple[str, str]:
-    """Output chip (`health.py:48-84`): clip > hard limiting > true-peak
-    events > low headroom > hot > OK."""
-    true_peak_headroom = _float_or_none(true_peak_headroom_db)
-    if clip_delta:
-        return f"Output: CLIP (OCL:{output_clip_count})", "bad"
-    if limiter_history_db >= 6.0 or true_peak_limiter_history_db >= 3.0:
-        return (
-            "Output: LIMITING HARD "
-            f"(L:{limiter_history_db:.1f} TP:{true_peak_limiter_history_db:.1f})",
-            "warn",
-        )
-    if true_peak_delta:
-        return f"Output: TRUE PEAK (OTP:{true_peak_count})", "warn"
-    if true_peak_headroom is not None and true_peak_headroom < 0.75:
-        return f"Output: LOW TP HEADROOM ({true_peak_headroom:.1f}dB)", "warn"
-    if rms_db is None:
-        return "Output: --", "idle"
-    if rms_db > -1.0:
-        return f"Output: HOT ({rms_db:.0f}dB)", "warn"
+    """Output chip ladder: clip → hard limiting → true-peak events →
+    low headroom → idle → hot → OK."""
+    level = _as_float(rms_db)
+    headroom = _as_float(true_peak_headroom_db)
+    lim_gr = limiter_history_db
+    tp_gr = true_peak_limiter_history_db
 
-    true_peak = _float_or_none(true_peak_db)
-    loudness = _float_or_none(short_term_lufs)
-    tp_suffix = f" TP:{true_peak:.1f}" if true_peak is not None else ""
-    lufs_suffix = (
-        f" LU:{loudness:.0f}"
-        if loudness is not None and loudness > -119.0
-        else ""
+    rules = (
+        (clip_delta,
+         lambda: (f"Output: CLIP (OCL:{output_clip_count})", "bad")),
+        (lim_gr >= _OUT_LIMITER_HARD or tp_gr >= _OUT_TP_LIMITER_HARD,
+         lambda: (f"Output: LIMITING HARD (L:{lim_gr:.1f} TP:{tp_gr:.1f})",
+                  "warn")),
+        (true_peak_delta,
+         lambda: (f"Output: TRUE PEAK (OTP:{true_peak_count})", "warn")),
+        (headroom is not None and headroom < _OUT_TP_HEADROOM_MIN,
+         lambda: (f"Output: LOW TP HEADROOM ({headroom:.1f}dB)", "warn")),
+        (level is None,
+         lambda: ("Output: --", "idle")),
+        (level is not None and level > _OUT_HOT_RMS,
+         lambda: (f"Output: HOT ({level:.0f}dB)", "warn")),
     )
-    return f"Output: OK ({rms_db:.0f}dB{tp_suffix}{lufs_suffix})", "ok"
+    for hit, render in rules:
+        if hit:
+            return render()
+
+    parts = [f"Output: OK ({level:.0f}dB"]
+    true_peak = _as_float(true_peak_db)
+    if true_peak is not None:
+        parts.append(f" TP:{true_peak:.1f}")
+    loudness = _as_float(short_term_lufs)
+    if loudness is not None and loudness > _LUFS_DISPLAY_FLOOR:
+        parts.append(f" LU:{loudness:.0f}")
+    parts.append(")")
+    return "".join(parts), "ok"

@@ -1,25 +1,64 @@
-"""Stream-recovery decision heuristics (supervisor side).
+"""Stream-recovery decision heuristics (supervisor side, headless).
 
-Mirrors `python/mic_eq/ui/stream_recovery.py`: two independent stall
-detectors polled by the supervisor timer, both pure state-machine logic —
+Behavioral contract of `python/mic_eq/ui/stream_recovery.py` plus the input
+half of the reference supervisor's dual heartbeat watch
+(`supervisor.rs:22-98`): three sustained-condition detectors polled by the
+supervisor timer. Each follows the same shape — a *suspicion* predicate must
+hold continuously past a grace period, inside a warmup window after start
+and a cooldown window after the last recovery — but they differ in which
+gates clear the armed timer, and those differences are part of the contract:
 
-- **output stall**: live input but silent output with a swollen output
-  buffer, sustained past a grace period, rate-limited by a cooldown
-  (`stream_recovery.py:69-103`);
-- **callback stall**: the output callback stopped aging-in while the input
-  callback stays fresh, after warmup, past grace, outside cooldown
-  (`stream_recovery.py:9-46`).
+- **output stall** (`stream_recovery.py:69-103`): live input, silent output,
+  swollen output buffer; any failed gate disarms the timer.
+- **callback stall** (`stream_recovery.py:9-46`): output callback aging out
+  while the input callback stays fresh; any failed gate disarms.
+- **input stall**: input callback heartbeat aged past 2.5 s; warmup and
+  cooldown pause the clock WITHOUT disarming (a stall spanning the cooldown
+  boundary keeps its arm time).
 
-When either fires, the caller invokes
+When a detector fires, the caller invokes
 :meth:`..runtime.processor.AudioProcessor.service_recovery`.
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 
 __all__ = ["StreamRecoveryManager", "update_callback_stall_state"]
+
+# shared timing policy (seconds / milliseconds)
+_WARMUP_S = 5.0
+_COOLDOWN_S = 20.0
+_GRACE_S = 1.5
+_OUTPUT_CB_AGE_MS = 2000
+_INPUT_CB_FRESH_MS = 1500
+_INPUT_CB_STALL_MS = 2500
+_LIVE_INPUT_RMS_DB = -50.0
+_SILENT_OUTPUT_RMS_DB = -85.0
+_SWOLLEN_OUTPUT_BUF = 20000
+
+
+class _StallTimer:
+    """Grace-period integrator: ``advance`` arms on the first suspicious
+    poll and reports True once the suspicion has been held past ``grace``
+    (self-disarming on fire); ``disarm`` resets."""
+
+    __slots__ = ("armed_at",)
+
+    def __init__(self):
+        self.armed_at = None
+
+    def disarm(self) -> None:
+        self.armed_at = None
+
+    def advance(self, now: float, grace_s: float) -> bool:
+        if self.armed_at is None:
+            self.armed_at = now
+            return False
+        if now - self.armed_at < grace_s:
+            return False
+        self.armed_at = None
+        return True
 
 
 def update_callback_stall_state(
@@ -30,53 +69,88 @@ def update_callback_stall_state(
     processing_started_at,
     last_recovery_at: float,
     calibration_dialog_open: bool,
-    warmup_s: float = 5.0,
-    cooldown_s: float = 20.0,
-    grace_s: float = 1.5,
-    output_age_threshold_ms: int = 2000,
-    input_age_threshold_ms: int = 1500,
+    warmup_s: float = _WARMUP_S,
+    cooldown_s: float = _COOLDOWN_S,
+    grace_s: float = _GRACE_S,
+    output_age_threshold_ms: int = _OUTPUT_CB_AGE_MS,
+    input_age_threshold_ms: int = _INPUT_CB_FRESH_MS,
 ):
-    """Next callback-stall state and whether recovery should run."""
-    if calibration_dialog_open or processing_started_at is None:
-        return None, False
-    if now - processing_started_at < warmup_s:
-        return None, False
-    if now - last_recovery_at < cooldown_s:
-        return None, False
+    """Functional form of the callback-stall detector: maps the previous
+    armed-at value to ``(next_armed_at, should_recover)``. Kept as a pure
+    function for parity with the reference's API surface."""
+    timer = _StallTimer()
+    timer.armed_at = stall_started_at
+
+    gated = (
+        calibration_dialog_open
+        or processing_started_at is None
+        or now - processing_started_at < warmup_s
+        or now - last_recovery_at < cooldown_s
+    )
     suspicious = (
         output_cb_age_ms > output_age_threshold_ms
         and input_cb_age_ms < input_age_threshold_ms
     )
-    if not suspicious:
+    if gated or not suspicious:
         return None, False
-    if stall_started_at is None:
-        return now, False
-    if now - stall_started_at < grace_s:
-        return stall_started_at, False
-    return None, True
+    fired = timer.advance(now, grace_s)
+    return timer.armed_at, fired
 
 
-@dataclass(slots=True)
 class StreamRecoveryManager:
-    """UI-free recovery heuristics state."""
+    """UI-free recovery heuristics state. Field names are part of the
+    public surface (the reference exposes the armed-at timestamps)."""
 
-    output_stall_started_at: float | None = None
-    output_callback_stall_started_at: float | None = None
-    input_callback_stall_started_at: float | None = None
-    last_output_recovery_at: float = 0.0
-    processing_started_at: float | None = None
+    __slots__ = (
+        "_output_timer",
+        "_callback_timer",
+        "_input_timer",
+        "last_output_recovery_at",
+        "processing_started_at",
+    )
+
+    def __init__(self):
+        self._output_timer = _StallTimer()
+        self._callback_timer = _StallTimer()
+        self._input_timer = _StallTimer()
+        self.last_output_recovery_at = 0.0
+        self.processing_started_at = None
+
+    # armed-at timestamps, exposed under the reference's field names
+    @property
+    def output_stall_started_at(self):
+        return self._output_timer.armed_at
+
+    @property
+    def output_callback_stall_started_at(self):
+        return self._callback_timer.armed_at
+
+    @property
+    def input_callback_stall_started_at(self):
+        return self._input_timer.armed_at
+
+    def _disarm_all(self) -> None:
+        for timer in (self._output_timer, self._callback_timer,
+                      self._input_timer):
+            timer.disarm()
 
     def mark_processing_started(self, now=None) -> None:
         self.processing_started_at = time.monotonic() if now is None else now
-        self.output_stall_started_at = None
-        self.output_callback_stall_started_at = None
-        self.input_callback_stall_started_at = None
+        self._disarm_all()
 
     def mark_processing_stopped(self) -> None:
         self.processing_started_at = None
-        self.output_stall_started_at = None
-        self.output_callback_stall_started_at = None
-        self.input_callback_stall_started_at = None
+        self._disarm_all()
+
+    def _in_warmup(self, now: float, warmup_s: float) -> bool:
+        return now - self.processing_started_at < warmup_s
+
+    def _in_cooldown(self, now: float, cooldown_s: float) -> bool:
+        return now - self.last_output_recovery_at < cooldown_s
+
+    def _fire(self, now: float) -> bool:
+        self.last_output_recovery_at = now
+        return True
 
     def maybe_recover_input_stall(
         self,
@@ -84,35 +158,27 @@ class StreamRecoveryManager:
         input_cb_age_ms: int,
         calibration_dialog_open: bool,
         now=None,
-        warmup_s: float = 5.0,
-        cooldown_s: float = 20.0,
-        grace_s: float = 1.5,
-        input_age_threshold_ms: int = 2500,
+        warmup_s: float = _WARMUP_S,
+        cooldown_s: float = _COOLDOWN_S,
+        grace_s: float = _GRACE_S,
+        input_age_threshold_ms: int = _INPUT_CB_STALL_MS,
     ) -> bool:
-        """True when input-stall recovery should run: the input callback's
-        heartbeat aged past 2.5 s, sustained past the grace period — the
-        input half of the reference supervisor's dual heartbeat watch
-        (`supervisor.rs:22-98`: "checks callback heartbeats"); a device
-        that disappears without an error surfaces here."""
+        """Input heartbeat watch: a source that blocks or dies without an
+        error surfaces here. Warmup/cooldown pause without disarming."""
         current = time.monotonic() if now is None else now
         if calibration_dialog_open or self.processing_started_at is None:
-            self.input_callback_stall_started_at = None
+            self._input_timer.disarm()
             return False
-        if current - self.processing_started_at < warmup_s:
+        if self._in_warmup(current, warmup_s):
             return False
-        if current - self.last_output_recovery_at < cooldown_s:
+        if self._in_cooldown(current, cooldown_s):
             return False
         if input_cb_age_ms <= input_age_threshold_ms:
-            self.input_callback_stall_started_at = None
+            self._input_timer.disarm()
             return False
-        if self.input_callback_stall_started_at is None:
-            self.input_callback_stall_started_at = current
-            return False
-        if current - self.input_callback_stall_started_at < grace_s:
-            return False
-        self.input_callback_stall_started_at = None
-        self.last_output_recovery_at = current
-        return True
+        if self._input_timer.advance(current, grace_s):
+            return self._fire(current)
+        return False
 
     def maybe_recover_output_stall(
         self,
@@ -122,32 +188,25 @@ class StreamRecoveryManager:
         output_buf: int,
         calibration_dialog_open: bool,
         now=None,
-        cooldown_s: float = 20.0,
-        grace_s: float = 1.5,
+        cooldown_s: float = _COOLDOWN_S,
+        grace_s: float = _GRACE_S,
     ) -> bool:
-        """True when output-stall recovery should run
-        (`stream_recovery.py:69-103`)."""
-        if calibration_dialog_open:
-            self.output_stall_started_at = None
-            return False
+        """Live input + silent output + swollen buffer, sustained. Any
+        failed gate disarms (no warmup gate on this detector)."""
         current = time.monotonic() if now is None else now
-        if current - self.last_output_recovery_at < cooldown_s:
-            self.output_stall_started_at = None
-            return False
         suspicious = (
-            input_rms > -50.0 and output_rms < -85.0 and output_buf > 20000
+            input_rms > _LIVE_INPUT_RMS_DB
+            and output_rms < _SILENT_OUTPUT_RMS_DB
+            and output_buf > _SWOLLEN_OUTPUT_BUF
         )
-        if not suspicious:
-            self.output_stall_started_at = None
+        if (calibration_dialog_open
+                or self._in_cooldown(current, cooldown_s)
+                or not suspicious):
+            self._output_timer.disarm()
             return False
-        if self.output_stall_started_at is None:
-            self.output_stall_started_at = current
-            return False
-        if current - self.output_stall_started_at < grace_s:
-            return False
-        self.output_stall_started_at = None
-        self.last_output_recovery_at = current
-        return True
+        if self._output_timer.advance(current, grace_s):
+            return self._fire(current)
+        return False
 
     def maybe_recover_callback_stall(
         self,
@@ -157,10 +216,11 @@ class StreamRecoveryManager:
         calibration_dialog_open: bool,
         now=None,
     ) -> bool:
-        """True when callback-stall recovery should run."""
+        """Output callback stopped while input stays fresh. Any failed
+        gate disarms."""
         current = time.monotonic() if now is None else now
-        new_state, should_recover = update_callback_stall_state(
-            stall_started_at=self.output_callback_stall_started_at,
+        armed, should_recover = update_callback_stall_state(
+            stall_started_at=self._callback_timer.armed_at,
             now=current,
             input_cb_age_ms=input_cb_age_ms,
             output_cb_age_ms=output_cb_age_ms,
@@ -168,7 +228,7 @@ class StreamRecoveryManager:
             last_recovery_at=self.last_output_recovery_at,
             calibration_dialog_open=calibration_dialog_open,
         )
-        self.output_callback_stall_started_at = new_state
+        self._callback_timer.armed_at = armed
         if should_recover:
-            self.last_output_recovery_at = current
-        return should_recover
+            return self._fire(current)
+        return False

@@ -173,6 +173,37 @@ def test_dfn_processor_failure_passthrough():
     assert proc["backend_failed"]
 
 
+def test_dfn_atten_lim_applied_exactly_once():
+    """Max suppression must equal the configured attenuation limit — not
+    double it (the reference applies df_set_atten_lim once, as a
+    noisy-spectrum mix; `deepfilter_ffi.rs:44-63`). Weights are forced to
+    full suppression (sigmoid -> ~0 gains, zero deep-filter taps), so the
+    wet output is exactly the gain-floor mix of the input."""
+    params = dfn3.init_params()
+    params = dict(
+        params,
+        erb_dec_w=jnp.zeros_like(params["erb_dec_w"]),
+        erb_dec_b=jnp.full_like(params["erb_dec_b"], -30.0),  # sigmoid ~ 0
+        df_dec_w=jnp.zeros_like(params["df_dec_w"]),
+        df_dec_b=jnp.zeros_like(params["df_dec_b"]),
+    )
+    fs = 48000.0
+    n = np.arange(20 * dfn3.FRAME_SIZE)
+    x = (0.3 * np.sin(2 * np.pi * 1000.0 * n / fs)).astype(np.float32)
+    frames = jnp.asarray(x.reshape(20, dfn3.FRAME_SIZE))
+    for atten_db in (30.0, 12.0):
+        state = dfn3.dfn_state_init()
+        _, ys = dfn3.dfn_frames(params, state, frames, atten_db, 0.0)
+        y = np.asarray(ys).reshape(-1)
+        # skip warmup (overlap-add + 1-frame latency), measure steady state
+        steady_in = x[4 * 480 : 16 * 480]
+        steady_out = y[4 * 480 + 480 : 16 * 480 + 480]
+        rms_in = np.sqrt(np.mean(steady_in**2))
+        rms_out = np.sqrt(np.mean(steady_out**2))
+        got_db = -20.0 * np.log10(rms_out / rms_in)
+        assert abs(got_db - atten_db) < 1.0, (atten_db, got_db)
+
+
 def test_dfn_frames_batched():
     params = dfn3.init_params()
     state = dfn3.dfn_state_init((4,))

@@ -140,7 +140,9 @@ class TestStressHarness:
 
         report = run_seeded_control_dsp_stress(seed=7, iterations=120)
         assert report.control_updates == 120
-        assert report.processed_blocks > 0
+        # the release gate requires real work, not a bounded-but-idle run
+        assert report.processed_blocks >= 100
+        assert report.max_output_abs > 0.0
         assert np.isfinite(report.max_output_abs)
         assert report.max_output_abs <= MAX_OUTPUT_ABS
 

@@ -86,6 +86,13 @@ def main() -> int:
         "processed_blocks": report_stress.processed_blocks,
         "max_output_abs": report_stress.max_output_abs,
         "bounded": report_stress.max_output_abs <= MAX_OUTPUT_ABS,
+        # a bounded-but-idle run certifies nothing: the gate requires real
+        # audio to have flowed through the mutation storm (the reference's
+        # equivalent processes 600 live updates, `stress_tests.rs:12-25`)
+        "active": (
+            report_stress.processed_blocks >= 100
+            and report_stress.max_output_abs > 0.0
+        ),
     }
 
     # advisory: sustained host health (realtime pacing on the host CPU)
@@ -105,6 +112,7 @@ def main() -> int:
         "throughput_min_audio_sec_per_sec": 1000.0,
         "self_test_min_confidence": 0.5,
         "stress_max_output_abs": MAX_OUTPUT_ABS,
+        "stress_min_processed_blocks": 100,
     }
     passed = (
         throughput >= gates["throughput_min_audio_sec_per_sec"]
@@ -112,6 +120,7 @@ def main() -> int:
         and (self_test["confidence"] or 0.0)
         >= gates["self_test_min_confidence"]
         and stress["bounded"]
+        and stress["active"]
     )
 
     report = {
