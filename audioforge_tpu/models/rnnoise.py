@@ -331,6 +331,24 @@ def _sliding_inner(y, frame, n_lags):
     return out.reshape(lead + (n_lags,)) if lead else out[0]
 
 
+def _slice_rows(buf, start, length: int):
+    """``out[..., i] = buf[..., start + i]`` for a per-stream integer
+    ``start`` — a batched contiguous window. Expressed as a vmapped
+    ``lax.dynamic_slice`` (ONE index per row, contiguous slice) instead of
+    ``take_along_axis`` (one index per ELEMENT): on TPU the latter lowers
+    to a scalar-indexed gather that costs ~40 ms/frame at fleet 256 inside
+    the frame scan; the slice form is ~150x faster for the same values."""
+    lead = buf.shape[:-1]
+    if not lead:
+        return jax.lax.dynamic_slice(buf, (start,), (length,))
+    flat = buf.reshape((-1, buf.shape[-1]))
+    sflat = jnp.broadcast_to(start, lead).reshape((-1,))
+    out = jax.vmap(
+        lambda b, s: jax.lax.dynamic_slice(b, (s,), (length,))
+    )(flat, sflat)
+    return out.reshape(lead + (length,))
+
+
 def _find_best_pitch(xcorr, y, length):
     """Top-2 lags of ``xcorr[i]^2 / Syy_i`` over positive correlations
     (celt ``find_best_pitch``), vectorised. ``Syy_i = 1 + sum y[i..i+len)^2``
@@ -497,33 +515,47 @@ def _remove_doubling(x24, T0_48, prev_period_48, prev_gain):
     )
     yy_lookup = jnp.maximum(yy_lookup, 0.0)  # (..., maxp+1)
 
+    # One full correlation row corr_full[..., i] = sum_j xw[j] * x24[i+j]
+    # (so corr_at(T) == corr_full[maxp - T]); every sub-period probe then
+    # becomes a one-element lookup, and ALL lookups batch into single
+    # gathers. Probing each T with a per-stream dynamic 480-slice instead
+    # costs ~30 ms/frame at fleet 1024 on TPU (33 gathered windows/frame).
+    corr_full = _sliding_inner(x24, xw, maxp + 1)
+
     def corr_at(T):
         """sum_j x[j] * x[j - T] with per-batch integer T."""
-        idx = maxp - T[..., None] + jnp.arange(N)
-        return jnp.sum(xw * jnp.take_along_axis(x24, idx, axis=-1), axis=-1)
+        return jnp.take_along_axis(
+            corr_full, (maxp - T)[..., None], axis=-1
+        )[..., 0]
 
-    xy0 = corr_at(T0)
-    yy0 = jnp.take_along_axis(yy_lookup, T0[..., None], axis=-1)[..., 0]
+    # ---- stacked sub-period candidate table (k = 2..15) ----
+    ks = np.arange(2, 16)
+    T1s = (2 * T0[..., None] + ks) // (2 * ks)  # (..., 14)
+    sec = _SECOND_CHECK[ks]
+    T1bs = (2 * sec * T0[..., None] + ks) // (2 * ks)
+    # k == 2 special case
+    t1b2 = jnp.where(T1s[..., 0] + T0 > maxp, T0, T0 + T1s[..., 0])
+    T1bs = T1bs.at[..., 0].set(t1b2)
+    T1cs = jnp.clip(T1s, 0, maxp)
+    T1bcs = jnp.clip(T1bs, 0, maxp)
+
+    # all xy/yy probes (incl. T0 itself) in two batched gathers
+    probes = jnp.concatenate([T0[..., None], T1cs, T1bcs], axis=-1)
+    xy_all = jnp.take_along_axis(corr_full, maxp - probes, axis=-1)
+    yy_all = jnp.take_along_axis(yy_lookup, probes, axis=-1)
+
+    xy0, yy0 = xy_all[..., 0], yy_all[..., 0]
     g0 = _compute_pitch_gain(xy0, xx, yy0)
 
     best_xy, best_yy = xy0, yy0
     T = T0
     g = g0
 
-    for k in range(2, 16):
-        T1 = (2 * T0 + k) // (2 * k)
+    for i, k in enumerate(range(2, 16)):
+        T1 = T1s[..., i]
         live = T1 >= minp  # the C loop breaks here; T1 shrinks with k
-        if k == 2:
-            T1b = jnp.where(T1 + T0 > maxp, T0, T0 + T1)
-        else:
-            T1b = (2 * int(_SECOND_CHECK[k]) * T0 + k) // (2 * k)
-        T1c = jnp.clip(T1, 0, maxp)
-        T1bc = jnp.clip(T1b, 0, maxp)
-        xy = 0.5 * (corr_at(T1c) + corr_at(T1bc))
-        yy = 0.5 * (
-            jnp.take_along_axis(yy_lookup, T1c[..., None], axis=-1)[..., 0]
-            + jnp.take_along_axis(yy_lookup, T1bc[..., None], axis=-1)[..., 0]
-        )
+        xy = 0.5 * (xy_all[..., 1 + i] + xy_all[..., 15 + i])
+        yy = 0.5 * (yy_all[..., 1 + i] + yy_all[..., 15 + i])
         g1 = _compute_pitch_gain(xy, xx, yy)
         cont = jnp.where(
             jnp.abs(T1 - prev_period) <= 1,
@@ -633,8 +665,7 @@ def frame_features(state, x_frame):
     # pitch-delayed window: p[i] = pitch_buf[PITCH_BUF_SIZE - WINDOW_SIZE
     # - pitch_index + i]
     start = PITCH_BUF_SIZE - WINDOW_SIZE - pitch_index
-    idx = start[..., None] + jnp.arange(WINDOW_SIZE)
-    p = jnp.take_along_axis(pitch_buf, idx, axis=-1) * _WINDOW
+    p = _slice_rows(pitch_buf, start, WINDOW_SIZE) * _WINDOW
     P = _fwd(p)
     Ep = _band_energy(P)
     Exp_raw = _band_corr(X, P)
