@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.biquad import apply as biquad_apply
+from ..ops.biquad import apply_fixed as biquad_apply_fixed
 from ..ops.dft import irdft_auto, rdft_auto
 
 __all__ = [
@@ -281,12 +281,13 @@ def _hp_biquad(mem, x):
     """rnnoise's input DF2T biquad (b=[1,-2,1], a=[1,-1.99599,0.996]).
 
     Poles sit at |z|~0.998, so a plain-f32 recurrence drifts ~2e-2 relative
-    over one 960-sample block; route through the compensated double-word-f32
-    associative scan (same machinery as the EQ biquads) to stay within the
-    scipy-f64 parity budget of ``tests/test_rnnoise_exact.py``.
+    over one 960-sample block. The coefficients are static, so the whole
+    block is applied as host-precomputed f64-exact IR/state matmuls
+    (:func:`audioforge_tpu.ops.biquad.apply_fixed`) — pure MXU work, more
+    accurate than the compensated scan it replaces and ~15x cheaper per
+    frame at fleet scale.
     """
-    coeffs = jnp.broadcast_to(_HP_COEFFS, x.shape[:-1] + (5,))
-    y, mem_out = biquad_apply(coeffs, mem, x)
+    y, mem_out = biquad_apply_fixed(tuple(_HP_COEFFS), mem, x)
     return mem_out, y
 
 
@@ -331,22 +332,48 @@ def _sliding_inner(y, frame, n_lags):
     return out.reshape(lead + (n_lags,)) if lead else out[0]
 
 
-def _slice_rows(buf, start, length: int):
+def _slice_rows(buf, start, length: int, max_start: int | None = None):
     """``out[..., i] = buf[..., start + i]`` for a per-stream integer
-    ``start`` — a batched contiguous window. Expressed as a vmapped
-    ``lax.dynamic_slice`` (ONE index per row, contiguous slice) instead of
-    ``take_along_axis`` (one index per ELEMENT): on TPU the latter lowers
-    to a scalar-indexed gather that costs ~40 ms/frame at fleet 256 inside
-    the frame scan; the slice form is ~150x faster for the same values."""
+    ``start`` — a batched contiguous window.
+
+    TPU lowering notes: ``take_along_axis`` (one index per ELEMENT) costs
+    ~40 ms/frame at fleet 256 inside the frame scan; a vmapped
+    ``lax.dynamic_slice`` (one index per row) is ~30x better but still
+    ~1 ms/frame at fleet 1024 because per-row dynamic starts defeat the
+    lane layout. With a known ``max_start`` the window is instead selected
+    by a barrel shifter: a tree of STATIC slices blended with ``where``
+    masks (strides 128/16/1 — ~30 masked adds, all fully lane-parallel)."""
     lead = buf.shape[:-1]
     if not lead:
         return jax.lax.dynamic_slice(buf, (start,), (length,))
-    flat = buf.reshape((-1, buf.shape[-1]))
-    sflat = jnp.broadcast_to(start, lead).reshape((-1,))
-    out = jax.vmap(
-        lambda b, s: jax.lax.dynamic_slice(b, (s,), (length,))
-    )(flat, sflat)
-    return out.reshape(lead + (length,))
+    if max_start is None:
+        max_start = buf.shape[-1] - length
+    rem = jnp.broadcast_to(start, lead)
+    cur = buf
+    cur_max = max_start
+    for stride in (128, 16, 1):
+        if cur_max == 0:
+            break
+        if stride > 1 and cur_max < stride:
+            continue
+        n_q = cur_max // stride + 1
+        next_max = (stride - 1) if stride > 1 else 0
+        seg_len = length + next_max
+        need = (n_q - 1) * stride + seg_len
+        if cur.shape[-1] < need:
+            pad = [(0, 0)] * (cur.ndim - 1) + [(0, need - cur.shape[-1])]
+            cur = jnp.pad(cur, pad)
+        q = rem // stride if stride > 1 else rem
+        rem = rem - q * stride
+        acc = None
+        for qi in range(n_q):
+            seg = cur[..., qi * stride : qi * stride + seg_len]
+            m = (q == qi)[..., None]
+            term = jnp.where(m, seg, 0.0)
+            acc = term if acc is None else acc + term
+        cur = acc
+        cur_max = next_max
+    return cur[..., :length]
 
 
 def _find_best_pitch(xcorr, y, length):
@@ -461,7 +488,10 @@ def _pitch_search(x_lp, y24):
     xc4 = _sliding_inner(y4, x4, n12)
     c0, c1 = _find_best_pitch(xc4, y4, PITCH_FRAME_SIZE // 4)
 
-    xc24_full = _sliding_inner(y24, x_lp, n24)
+    # one extra tail of lags (339..384) so the same correlation row serves
+    # remove_doubling's sub-period probes — the conv runs once per frame
+    xc24_ext = _sliding_inner(y24, x_lp, PITCH_MAX_PERIOD // 2 + 1)
+    xc24_full = xc24_ext[..., :n24]
     lags = jnp.arange(n24)
     near = (
         (jnp.abs(lags - 2 * c0[..., None]) <= 2)
@@ -473,22 +503,23 @@ def _pitch_search(x_lp, y24):
     # pseudo-interpolation (celt pitch_search tail)
     interior = (b0 > 0) & (b0 < n24 - 1)
     idx = jnp.clip(b0, 1, n24 - 2)
-    a = jnp.take_along_axis(xc24, (idx - 1)[..., None], axis=-1)[..., 0]
-    b = jnp.take_along_axis(xc24, idx[..., None], axis=-1)[..., 0]
-    c = jnp.take_along_axis(xc24, (idx + 1)[..., None], axis=-1)[..., 0]
+    tri = jnp.stack([idx - 1, idx, idx + 1], axis=-1)
+    hot = jax.nn.one_hot(tri, n24, dtype=xc24.dtype)
+    abc = jnp.einsum("...kp,...p->...k", hot, xc24)
+    a, b, c = abc[..., 0], abc[..., 1], abc[..., 2]
     offset = jnp.where(
         (c - a) > 0.7 * (b - a), 1,
         jnp.where((a - c) > 0.7 * (b - c), -1, 0),
     )
     offset = jnp.where(interior, offset, 0)
-    return (2 * b0 - offset).astype(jnp.int32)  # 48 kHz units
+    return (2 * b0 - offset).astype(jnp.int32), xc24_ext  # 48 kHz units
 
 
 def _compute_pitch_gain(xy, xx, yy):
     return xy / jnp.sqrt(1.0 + xx * yy)
 
 
-def _remove_doubling(x24, T0_48, prev_period_48, prev_gain):
+def _remove_doubling(x24, T0_48, prev_period_48, prev_gain, corr_row=None):
     """celt ``remove_doubling`` at 2x decimation: checks each sub-period
     T0/k (k = 2..15) with the continuity thresholds and keeps the LAST
     passing candidate, then pseudo-interpolates. Returns
@@ -520,13 +551,9 @@ def _remove_doubling(x24, T0_48, prev_period_48, prev_gain):
     # becomes a one-element lookup, and ALL lookups batch into single
     # gathers. Probing each T with a per-stream dynamic 480-slice instead
     # costs ~30 ms/frame at fleet 1024 on TPU (33 gathered windows/frame).
-    corr_full = _sliding_inner(x24, xw, maxp + 1)
-
-    def corr_at(T):
-        """sum_j x[j] * x[j - T] with per-batch integer T."""
-        return jnp.take_along_axis(
-            corr_full, (maxp - T)[..., None], axis=-1
-        )[..., 0]
+    # ``corr_row`` reuses the row the 24 kHz pitch search already computed.
+    corr_full = (corr_row if corr_row is not None
+                 else _sliding_inner(x24, xw, maxp + 1))
 
     # ---- stacked sub-period candidate table (k = 2..15) ----
     ks = np.arange(2, 16)
@@ -539,10 +566,15 @@ def _remove_doubling(x24, T0_48, prev_period_48, prev_gain):
     T1cs = jnp.clip(T1s, 0, maxp)
     T1bcs = jnp.clip(T1bs, 0, maxp)
 
-    # all xy/yy probes (incl. T0 itself) in two batched gathers
+    # all xy/yy probes (incl. T0 itself) via ONE-HOT MATMULS: a [.., 29]
+    # element gather lowers poorly inside the frame scan on TPU, while
+    # onehot[.., 29, 385] x row[.., 385] is a tiny batched matmul the MXU
+    # eats (~22 MFLOP/frame at fleet 1024)
     probes = jnp.concatenate([T0[..., None], T1cs, T1bcs], axis=-1)
-    xy_all = jnp.take_along_axis(corr_full, maxp - probes, axis=-1)
-    yy_all = jnp.take_along_axis(yy_lookup, probes, axis=-1)
+    hot_xy = jax.nn.one_hot(maxp - probes, maxp + 1, dtype=corr_full.dtype)
+    hot_yy = jax.nn.one_hot(probes, maxp + 1, dtype=yy_lookup.dtype)
+    xy_all = jnp.einsum("...kp,...p->...k", hot_xy, corr_full)
+    yy_all = jnp.einsum("...kp,...p->...k", hot_yy, yy_lookup)
 
     xy0, yy0 = xy_all[..., 0], yy_all[..., 0]
     g0 = _compute_pitch_gain(xy0, xx, yy0)
@@ -586,11 +618,11 @@ def _remove_doubling(x24, T0_48, prev_period_48, prev_gain):
     pg = jnp.where(
         best_yy <= best_xy, 1.0, best_xy / (best_yy + best_xy)
     )
-    # pseudo-interpolation around T
+    # pseudo-interpolation around T (same one-hot-matmul lookup)
     Tsafe = jnp.clip(T, 1, maxp - 1)
-    xc = jnp.stack(
-        [corr_at(Tsafe - 1), corr_at(Tsafe), corr_at(Tsafe + 1)], axis=-1
-    )
+    tri = jnp.stack([Tsafe - 1, Tsafe, Tsafe + 1], axis=-1)
+    hot_tri = jax.nn.one_hot(maxp - tri, maxp + 1, dtype=corr_full.dtype)
+    xc = jnp.einsum("...kp,...p->...k", hot_tri, corr_full)
     offset = jnp.where(
         (xc[..., 2] - xc[..., 0]) > 0.7 * (xc[..., 1] - xc[..., 0]), 1,
         jnp.where(
@@ -656,10 +688,11 @@ def frame_features(state, x_frame):
     )
     x24 = _pitch_downsample(pitch_buf)
     x_lp = x24[..., PITCH_MAX_PERIOD // 2 :]  # last 480 @ 24 kHz
-    raw_idx = _pitch_search(x_lp, x24)
+    raw_idx, corr_row = _pitch_search(x_lp, x24)
     pitch_index = PITCH_MAX_PERIOD - raw_idx
     pitch_index, gain = _remove_doubling(
-        x24, pitch_index, state["last_period"], state["last_gain"]
+        x24, pitch_index, state["last_period"], state["last_gain"],
+        corr_row=corr_row,
     )
 
     # pitch-delayed window: p[i] = pitch_buf[PITCH_BUF_SIZE - WINDOW_SIZE
