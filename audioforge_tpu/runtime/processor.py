@@ -773,7 +773,10 @@ class AudioProcessor:
     def _dsp_loop_inner(self):
         config, params, topo, par, _ = self._snapshot_control()
         writer = OutputWriteController(float(SAMPLE_RATE))
-        state = lc.live_init(config, eq_bands=self._eq_bands)
+        with self._lock:
+            eq_bands = list(self._eq_bands)
+        eq_layout = eq_ops.eq_layout(eq_bands)
+        state = lc.live_init(config, eq_bands=eq_bands)
         engine = supp.engine_init(
             topo["noise_model"], par["suppressor_strength"]
         )
@@ -849,9 +852,21 @@ class AudioProcessor:
                         )["deesser"]
                     config = new_config
                 for band_index, band_cfg in pending_eq:
-                    state["eq"] = eq_ops.eq_set_band(
-                        state["eq"], band_index, band_cfg, float(SAMPLE_RATE)
-                    )
+                    eq_bands[band_index] = band_cfg
+                    try:
+                        state["eq"] = eq_ops.eq_set_band(
+                            state["eq"], band_index, band_cfg,
+                            float(SAMPLE_RATE), layout=eq_layout,
+                        )
+                    except ValueError:
+                        # band outgrew its compact slot (non-pass -> pass
+                        # type change): rebuild the cascade with the new
+                        # layout — a topology recompile, like a gate-mode
+                        # switch (`dsp_loop.rs:1052-1114` path reselect)
+                        eq_layout = eq_ops.eq_layout(eq_bands)
+                        state["eq"] = eq_ops.eq_init(
+                            eq_bands, float(SAMPLE_RATE), layout=eq_layout
+                        )
                 if topo["noise_model"] != engine["model"]:
                     engine = supp.engine_init(
                         topo["noise_model"], par["suppressor_strength"]

@@ -284,9 +284,10 @@ def test_eq_band_edit_crossfades(rng):
     state, _ = eq.eq_process(state, x)
     cfg = eq.EqBandConfig(1, 160.0, 8.0, 1.41, 12, True)
     state = eq.eq_set_band(state, 1, cfg, FS)
-    assert int(state["fade_remaining"][4]) == 72
+    # band 1 occupies compact slot 1 of the compensated ('lo') group
+    assert int(state["lo"]["fade_remaining"][1]) == 72
     state, y = eq.eq_process(state, x)
-    assert int(state["fade_remaining"][4]) == 0
+    assert int(state["lo"]["fade_remaining"][1]) == 0
     assert np.all(np.isfinite(np.asarray(y)))
 
 
