@@ -184,10 +184,9 @@ def routing_init(config: RoutingConfig, batch_shape=()):
     return {
         "dc_x1": f(0.0),
         "dc_y1": f(0.0),
-        # fixed 80 Hz pre-filter used when cleanup is off
-        "prefilter": biquad.unit_init(
-            jnp.asarray(hp80, jnp.float32), batch_shape
-        ),
+        # fixed 80 Hz pre-filter used when cleanup is off (plain DF2T state;
+        # the static coefficients live in the compiled apply_fixed operator)
+        "prefilter_z": jnp.zeros(batch_shape + (2,), jnp.float32),
         # adaptive path
         "lowpass_state": f(0.0),
         "low_env": f(0.0),
@@ -528,32 +527,28 @@ def routing_process(config: RoutingConfig, state, x):
             phase_valid=phase_valid,
         )
 
-    # ==== DC blocker (`routing.rs:826-843`): y = x - x1 + 0.995*y1 — a
-    # first-order recurrence; evaluate in parallel via the affine machinery
-    # (state-space with A = 0.995).
-    from .scan import affine_scan_2x2
-
-    # y_t = 0.995*y_{t-1} + (x_t - x_{t-1}); track y in z1 lane, constant z2.
-    x_prev = jnp.concatenate([state["dc_x1"][..., None], x[..., :-1]], axis=-1)
-    drive = x - x_prev
-    ones = jnp.ones_like(x)
-    z1s, _ = affine_scan_2x2(
-        jnp.full_like(x, DC_BLOCK_COEFF),
-        jnp.zeros_like(x),
-        jnp.zeros_like(x),
-        ones,
-        drive,
-        jnp.zeros_like(x),
-        state["dc_y1"],
-        jnp.zeros(lead, jnp.float32),
+    # ==== DC blocker (`routing.rs:826-843`): y = x - x1 + 0.995*y1. The
+    # coefficients are static, so the whole block is one host-precomputed
+    # IR/state matmul (biquad form b=[1,-1,0], a=[1,-0.995,0]; DF2T state
+    # z1 = 0.995*y1 - x1, z2 = 0) — pure MXU work instead of a scan.
+    dc_z = jnp.stack(
+        [DC_BLOCK_COEFF * state["dc_y1"] - state["dc_x1"],
+         jnp.zeros(lead, jnp.float32)],
+        axis=-1,
     )
-    y = z1s
+    y, _ = biquad.apply_fixed(
+        (1.0, -1.0, 0.0, -DC_BLOCK_COEFF, 0.0), dc_z, x
+    )
     new_state["dc_x1"] = x[..., -1]
     new_state["dc_y1"] = y[..., -1]
 
     if mode == CLEANUP_OFF:
-        pre, y = biquad.unit_process(new_state["prefilter"], y)
-        new_state["prefilter"] = pre
+        # fixed 80 Hz pre-filter: static coefficients -> same matmul form
+        hp80 = biquad.design(
+            biquad.HIGH_PASS, PREFILTER_HZ, 0.0, PREFILTER_Q, fs
+        )
+        y, pre_z = biquad.apply_fixed(tuple(hp80), state["prefilter_z"], y)
+        new_state["prefilter_z"] = pre_z
         metrics = {
             "hum_detected": jnp.zeros(lead, jnp.bool_),
             "rumble_detected": jnp.zeros(lead, jnp.bool_),
