@@ -196,8 +196,8 @@ def main(argv=None) -> int:
     import jax
 
     # persistent compile cache: the fused chain kernels are compile-heavy
-    jax.config.update("jax_compilation_cache_dir", "/tmp/afx_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from audioforge_tpu.cache import enable_compile_cache
+    enable_compile_cache()
     if args.command == "devices":
         return _cmd_devices(args)
     if args.command == "run":

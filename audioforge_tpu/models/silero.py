@@ -14,14 +14,33 @@ Contract mirrors the reference's Silero v6.2.1 integration
   smoothed (factor 0.5 toward the new value) and then Platt-calibrated with
   ``sigmoid(0.6923 * logit(p) + 0.0861)`` (`vad.rs:53-55,287-296,468-477`).
 
-The network itself is re-implemented natively (the reference treats it as an
-ONNX black box): magnitude-STFT features, a small conv encoder, a 2-layer
-LSTM whose per-layer (h, c) pair packs into the ``[2, batch, 128]`` state
-exactly like the ONNX wrapper, and a sigmoid head. ``load_weights`` accepts
-a numpy archive converted offline from the official ONNX release; without
-one, deterministic seeded weights keep the full pipeline exercisable
-end-to-end (shape/state/latency/control behaviour are bit-compatible with
-the real weights path).
+The network is the published Silero architecture (v5/v6 16 kHz branch)
+re-expressed op-for-op as native XLA (the reference treats it as an ONNX
+black box; the graph here matches the official release's own tensors so
+converted weights bind 1:1):
+
+- **STFT block**: the exported graph owns one tensor,
+  ``stft.forward_basis_buffer [258, 1, 256]`` — a hann-windowed 256-point
+  Fourier basis (129 real rows + 129 imaginary rows) applied as a stride-128
+  conv after right reflect-padding the 576-sample input by 64 → 4 frames;
+  magnitude = sqrt(re² + im²) → ``[B, 129, 4]``.
+- **Encoder**: four ``reparam_conv`` Conv1d+ReLU blocks (kernel 3, pad 1),
+  129→128 (stride 1), 128→64 (stride 2), 64→64 (stride 2), 64→128
+  (stride 1): time 4 → 4 → 2 → 1.
+- **Decoder**: one ``LSTMCell(128, 128)`` whose (h, c) pair IS the
+  ``[2, batch, 128]`` recurrent tensor the reference round-trips
+  (`vad.rs:430-460`), then ReLU → Conv1d(128→1, k=1) → sigmoid.
+
+``ONNX_NAME_MAP`` pins each framework key to the official checkpoint tensor
+name — the committed conversion contract for
+``tools/convert_model_weights.py``. Structural facts above are pinned by
+the key/shape contract; two graph details (the reflect-pad side and which
+two encoder convs carry stride 2) cannot change any tensor shape and are
+flagged in ``docs/silero_graph.md`` for numeric confirmation against the
+official runtime once archives can be produced. ``load_weights`` accepts a
+numpy archive converted offline from the official release; without one,
+deterministic seeded weights (with the EXACT analytic STFT basis) keep the
+full pipeline exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -60,11 +79,47 @@ CALIBRATION_B = 0.08612386
 
 _STFT_N = 256
 _STFT_HOP = 128
+_STFT_PAD = 64  # right reflect pad: (576 + 64 - 256) // 128 + 1 = 4 frames
 _N_BINS = _STFT_N // 2 + 1  # 129
-_ENC_DIM = 128
-_LSTM_HIDDEN = 64
-_N_LAYERS = 2
-_STATE_DIM = 2 * _LSTM_HIDDEN  # h||c per layer -> 128
+_N_FRAMES = (MODEL_INPUT_SIZE + _STFT_PAD - _STFT_N) // _STFT_HOP + 1  # 4
+_LSTM_HIDDEN = 128
+# encoder blocks: (in_ch, out_ch, stride); kernel 3, symmetric zero pad 1
+_ENC_SPEC = ((_N_BINS, 128, 1), (128, 64, 2), (64, 64, 2), (64, 128, 1))
+_N_LAYERS = 2  # state planes: h and c of the single LSTMCell (NOT layers)
+_STATE_DIM = _LSTM_HIDDEN
+
+# committed conversion contract: framework key -> tensor name in the
+# official Silero checkpoint (the jit/ONNX export's state dict). Feed to
+# tools/convert_model_weights.py as the default --name-map for silero.
+ONNX_NAME_MAP = {
+    "stft_basis": "_model.stft.forward_basis_buffer",
+    "enc0_w": "_model.encoder.0.reparam_conv.weight",
+    "enc0_b": "_model.encoder.0.reparam_conv.bias",
+    "enc1_w": "_model.encoder.1.reparam_conv.weight",
+    "enc1_b": "_model.encoder.1.reparam_conv.bias",
+    "enc2_w": "_model.encoder.2.reparam_conv.weight",
+    "enc2_b": "_model.encoder.2.reparam_conv.bias",
+    "enc3_w": "_model.encoder.3.reparam_conv.weight",
+    "enc3_b": "_model.encoder.3.reparam_conv.bias",
+    "lstm_wi": "_model.decoder.rnn.weight_ih",
+    "lstm_wh": "_model.decoder.rnn.weight_hh",
+    "lstm_bi": "_model.decoder.rnn.bias_ih",
+    "lstm_bh": "_model.decoder.rnn.bias_hh",
+    "head_w": "_model.decoder.decoder.2.weight",
+    "head_b": "_model.decoder.decoder.2.bias",
+}
+
+
+def stft_basis_analytic():
+    """The analytic value of ``stft.forward_basis_buffer``: hann-windowed
+    256-point Fourier basis, 129 real rows then 129 imaginary rows,
+    ``[258, 1, 256]`` (torch-stft layout). The official buffer IS this
+    matrix, so seeded mode computes the exact production STFT."""
+    n = _STFT_N
+    basis = np.fft.fft(np.eye(n))[: _N_BINS]
+    window = np.hanning(n + 1)[:n]  # periodic hann, torch.hann_window
+    full = np.concatenate([basis.real, basis.imag], axis=0) * window
+    return jnp.asarray(full[:, None, :], jnp.float32)
 
 
 def calibrate_probability(probability):
@@ -80,30 +135,27 @@ def calibrate_probability(probability):
 
 
 def init_params(seed: int = 0x51E0):
-    """Deterministic random-initialised parameters with the production
-    architecture shapes. Replace via :func:`load_weights` when converted
-    official weights are available."""
+    """Deterministic parameters with the official checkpoint's exact
+    key/shape contract (see ``ONNX_NAME_MAP``). The STFT basis is the true
+    analytic buffer; learned tensors are seeded (replace via
+    :func:`load_weights` when converted official weights are available)."""
     rng = np.random.default_rng(seed)
 
-    def w(*shape, scale=None):
-        scale = scale or (1.0 / np.sqrt(shape[-1]))
+    def w(*shape):
+        scale = 1.0 / np.sqrt(np.prod(shape[1:]))
         return jnp.asarray(rng.normal(0.0, scale, shape), jnp.float32)
 
-    params = {
-        # conv encoder over STFT magnitudes: (bins -> 128) pointwise + two
-        # depth-3 temporal convs
-        "enc_w0": w(_N_BINS, _ENC_DIM),
-        "enc_b0": jnp.zeros((_ENC_DIM,), jnp.float32),
-        "enc_w1": w(3, _ENC_DIM, _ENC_DIM, scale=1.0 / np.sqrt(3 * _ENC_DIM)),
-        "enc_b1": jnp.zeros((_ENC_DIM,), jnp.float32),
-        "head_w": w(_LSTM_HIDDEN, 1),
-        "head_b": jnp.zeros((1,), jnp.float32),
-    }
-    for layer in range(_N_LAYERS):
-        in_dim = _ENC_DIM if layer == 0 else _LSTM_HIDDEN
-        params[f"lstm{layer}_wi"] = w(in_dim, 4 * _LSTM_HIDDEN)
-        params[f"lstm{layer}_wh"] = w(_LSTM_HIDDEN, 4 * _LSTM_HIDDEN)
-        params[f"lstm{layer}_b"] = jnp.zeros((4 * _LSTM_HIDDEN,), jnp.float32)
+    params = {"stft_basis": stft_basis_analytic()}
+    for i, (cin, cout, _stride) in enumerate(_ENC_SPEC):
+        params[f"enc{i}_w"] = w(cout, cin, 3)  # torch Conv1d layout
+        params[f"enc{i}_b"] = jnp.zeros((cout,), jnp.float32)
+    # torch LSTMCell tensors: weight_ih/hh [4*hidden, in], gate order ifgo
+    params["lstm_wi"] = w(4 * _LSTM_HIDDEN, _LSTM_HIDDEN)
+    params["lstm_wh"] = w(4 * _LSTM_HIDDEN, _LSTM_HIDDEN)
+    params["lstm_bi"] = jnp.zeros((4 * _LSTM_HIDDEN,), jnp.float32)
+    params["lstm_bh"] = jnp.zeros((4 * _LSTM_HIDDEN,), jnp.float32)
+    params["head_w"] = w(1, _LSTM_HIDDEN, 1)  # Conv1d(128 -> 1, k=1)
+    params["head_b"] = jnp.zeros((1,), jnp.float32)
     return params
 
 
@@ -178,63 +230,60 @@ def weights_source() -> str:
     return _DEFAULT_PARAMS_CACHE["source"]
 
 
-def _stft_mag(x):
-    """Magnitude STFT features of a [B, 576] model input: 256-window /
-    128-hop frames -> [B, frames, 129]."""
-    B = x.shape[0]
-    n_frames = (MODEL_INPUT_SIZE - _STFT_N) // _STFT_HOP + 1  # 3
-    idx = jnp.arange(n_frames)[:, None] * _STFT_HOP + jnp.arange(_STFT_N)[None, :]
-    frames = x[:, idx]  # [B, frames, 256]
-    win = jnp.asarray(np.hanning(_STFT_N), jnp.float32)
-    spec = jnp.fft.rfft(frames * win, axis=-1)
-    return jnp.abs(spec).astype(jnp.float32)
+def _stft_mag(params, x):
+    """The exported STFT block: right reflect pad 64 then the
+    ``forward_basis_buffer`` as a stride-128 conv; magnitude over the
+    129-bin real/imag split -> ``[B, 4, 129]`` (frame-major here; the
+    channel-major torch layout is restored by the caller's einsums)."""
+    xp = jnp.concatenate([x, x[:, -2 : -2 - _STFT_PAD : -1]], axis=-1)
+    idx = (jnp.arange(_N_FRAMES)[:, None] * _STFT_HOP
+           + jnp.arange(_STFT_N)[None, :])
+    frames = xp[:, idx]  # [B, 4, 256]
+    basis = params["stft_basis"][:, 0, :]  # [258, 256]
+    proj = jnp.einsum("bfn,cn->bfc", frames, basis)  # [B, 4, 258]
+    re, im = proj[..., :_N_BINS], proj[..., _N_BINS:]
+    return jnp.sqrt(re * re + im * im + 1e-12)
+
+
+def _conv1d_k3(h, w, b, stride):
+    """torch ``Conv1d(k=3, padding=1)`` on ``[B, T, Cin]`` with weight in
+    the checkpoint's ``[Cout, Cin, 3]`` layout -> ``[B, T', Cout]``."""
+    hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
+    t_out = (h.shape[1] + 2 - 3) // stride + 1
+    taps = jnp.arange(t_out) * stride
+    stacked = jnp.stack(
+        [hp[:, taps], hp[:, taps + 1], hp[:, taps + 2]], axis=2
+    )  # [B, T', 3, Cin]
+    return jnp.einsum("btki,oik->bto", stacked, w) + b
 
 
 @jax.jit
 def silero_infer(params, audio_576, state):
-    """One batched inference step.
+    """One batched inference step of the production graph.
 
-    ``audio_576``: ``[B, 576]`` (context + window, pre-gain already
-    applied); ``state``: ``[2, B, 128]`` (per layer ``h || c``). Returns
-    ``(prob [B], new_state)`` with the raw (uncalibrated) posterior.
-    """
-    B = audio_576.shape[0]
-    feats = _stft_mag(audio_576)  # [B, F, 129]
-    h = jnp.log1p(feats)
-    h = jax.nn.relu(h @ params["enc_w0"] + params["enc_b0"])  # [B, F, 128]
-    # temporal conv (causal, width 3)
-    hp = jnp.pad(h, ((0, 0), (2, 0), (0, 0)))
-    stacked = jnp.stack([hp[:, 0:-2], hp[:, 1:-1], hp[:, 2:]], axis=2)  # [B,F,3,D]
-    h = jax.nn.relu(
-        jnp.einsum("bfki,kio->bfo", stacked, params["enc_w1"]) + params["enc_b1"]
-    )  # [B, F, 128]
-
-    new_states = []
-    x_seq = h  # [B, F, D]
-    for layer in range(_N_LAYERS):
-        hc = state[layer]  # [B, 128]
-        h0, c0 = hc[:, :_LSTM_HIDDEN], hc[:, _LSTM_HIDDEN:]
-        wi = params[f"lstm{layer}_wi"]
-        wh = params[f"lstm{layer}_wh"]
-        b = params[f"lstm{layer}_b"]
-
-        def cell(carry, x_t):
-            hprev, cprev = carry
-            gates = x_t @ wi + hprev @ wh + b
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c = jax.nn.sigmoid(f) * cprev + jax.nn.sigmoid(i) * jnp.tanh(g)
-            hnew = jax.nn.sigmoid(o) * jnp.tanh(c)
-            return (hnew, c), hnew
-
-        (hN, cN), out_seq = jax.lax.scan(
-            cell, (h0, c0), jnp.swapaxes(x_seq, 0, 1)
+    ``audio_576``: ``[B, 576]`` (64 context + 512 window, pre-gain already
+    applied); ``state``: ``[2, B, 128]`` — plane 0 is the LSTMCell ``h``,
+    plane 1 its ``c``, exactly the tensor the reference round-trips through
+    ONNX Runtime (`vad.rs:430-460`). Returns ``(prob [B], new_state)`` with
+    the raw (uncalibrated) posterior."""
+    h = _stft_mag(params, audio_576)  # [B, 4, 129]
+    for i, (_cin, _cout, stride) in enumerate(_ENC_SPEC):
+        h = jax.nn.relu(
+            _conv1d_k3(h, params[f"enc{i}_w"], params[f"enc{i}_b"], stride)
         )
-        x_seq = jnp.swapaxes(out_seq, 0, 1)
-        new_states.append(jnp.concatenate([hN, cN], axis=-1))
+    x_t = h[:, 0, :]  # encoder reduces time 4 -> 1
 
-    logits = x_seq[:, -1, :] @ params["head_w"] + params["head_b"]
-    prob = jax.nn.sigmoid(logits)[:, 0]
-    return prob, jnp.stack(new_states, axis=0)
+    h0, c0 = state[0], state[1]
+    gates = (x_t @ params["lstm_wi"].T + h0 @ params["lstm_wh"].T
+             + params["lstm_bi"] + params["lstm_bh"])
+    i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)  # torch ifgo order
+    c1 = jax.nn.sigmoid(f_g) * c0 + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+    h1 = jax.nn.sigmoid(o_g) * jnp.tanh(c1)
+
+    # decoder: ReLU -> Conv1d(128 -> 1, k=1) -> sigmoid
+    logits = jax.nn.relu(h1) @ params["head_w"][0, :, 0] + params["head_b"][0]
+    prob = jax.nn.sigmoid(logits)
+    return prob, jnp.stack([h1, c1], axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -20,8 +20,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the parallel-scan kernels are compile-heavy
 # on CPU; caching makes re-runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/afx_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+os.environ.setdefault("AUDIOFORGE_JAX_CACHE", "/tmp/afx_jax_cache")
+from audioforge_tpu.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import numpy as np
 import pytest

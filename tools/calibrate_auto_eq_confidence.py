@@ -40,8 +40,8 @@ if str(REPO_ROOT) not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/afx_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from audioforge_tpu.cache import enable_compile_cache
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 

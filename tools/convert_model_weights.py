@@ -66,10 +66,14 @@ def main() -> int:
     if not (args.source and args.output):
         parser.error("--source and --output are required unless --list")
     source = dict(np.load(args.source))
-    name_map = (
-        json.loads(args.name_map.read_text()) if args.name_map else
-        {k: k for k in reference}
-    )
+    if args.name_map:
+        name_map = json.loads(args.name_map.read_text())
+    elif hasattr(mod, "ONNX_NAME_MAP"):
+        # the committed conversion contract (e.g. silero.ONNX_NAME_MAP):
+        # framework key -> official checkpoint tensor name
+        name_map = dict(mod.ONNX_NAME_MAP)
+    else:
+        name_map = {k: k for k in reference}
 
     converted = {}
     for key, ref in reference.items():

@@ -34,8 +34,8 @@ if str(REPO_ROOT) not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/afx_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from audioforge_tpu.cache import enable_compile_cache
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 
@@ -101,6 +101,51 @@ def _silero_parity():
         "noise_windows": int(noise.size),
         "speech_noise_auc": float(auc),
         "passed": bool(float(auc) >= GATES["silero_min_speech_noise_auc"]),
+    }
+
+
+def _silero_convertibility():
+    """Prove the conversion path end-to-end WITHOUT the official archive:
+    a synthetic checkpoint carrying the official tensor names (the
+    committed ``silero.ONNX_NAME_MAP`` / ``docs/silero_graph.md`` contract)
+    must convert, load, and reproduce bit-identical posteriors."""
+    import subprocess
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from audioforge_tpu.models import silero
+
+    params = silero.init_params(seed=0xBEEF)
+    with tempfile.TemporaryDirectory() as td:
+        src = Path(td) / "silero_state_dict.npz"
+        out = Path(td) / "silero_vad.npz"
+        np.savez(src, **{silero.ONNX_NAME_MAP[k]: np.asarray(v)
+                         for k, v in params.items()})
+        res = subprocess.run(
+            [sys.executable,
+             str(REPO_ROOT / "tools" / "convert_model_weights.py"),
+             "--model", "silero", "--source", str(src),
+             "--output", str(out)],
+            capture_output=True, text=True, timeout=600,
+        )
+        if res.returncode != 0:
+            return {"convertible": False,
+                    "reason": (res.stdout + res.stderr)[-500:]}
+        loaded = silero.load_weights(out)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 576)), jnp.float32)
+    state = jnp.zeros((2, 2, 128), jnp.float32)
+    p_ref, s_ref = silero.silero_infer(params, x, state)
+    p_new, s_new = silero.silero_infer(loaded, x, state)
+    bit_stable = bool(
+        np.array_equal(np.asarray(p_ref), np.asarray(p_new))
+        and np.array_equal(np.asarray(s_ref), np.asarray(s_new)))
+    return {
+        "convertible": bit_stable,
+        "graph_map": "docs/silero_graph.md",
+        "name_map_keys": len(silero.ONNX_NAME_MAP),
+        "posterior_bit_stable": bit_stable,
     }
 
 
@@ -201,6 +246,11 @@ def evaluate():
     # behavioural contracts always run (they hold for seeded weights too,
     # except the discrimination gates which only bind with converted ones)
     contracts = {"dfn3": _dfn3_parity()}
+    conv = _silero_convertibility()
+    models["silero"]["convertible"] = conv.get("convertible", False)
+    contracts["silero_conversion"] = dict(conv, available=True,
+                                          passed=conv.get("convertible",
+                                                          False))
     binding = {name: models[name]["archive_present"]
                for name in ("silero", "rnnoise")}
     if binding["silero"]:
