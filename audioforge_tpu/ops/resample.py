@@ -108,24 +108,48 @@ def windowed_sinc(taps: int, cutoff: float, window: str = "blackman") -> np.ndar
 def _auto_cutoff(sinc_len: int, window: str) -> float:
     """Largest cutoff whose response at Nyquist stays below the window's
     achievable stopband (numeric equivalent of the reference's adaptive
-    cutoff, `resampling.rs:147`)."""
-    # target stopband: measured max sidelobe of the window's sinc design
-    probe = windowed_sinc(sinc_len, 0.5, window)
-    H = np.abs(np.fft.rfft(probe, 16384))
-    # stopband floor beyond the transition region
-    floor_db = 20 * np.log10(np.maximum(H[len(H) // 2 :], 1e-12)).max()
-    target_db = min(floor_db + 3.0, -60.0)
+    cutoff, `resampling.rs:147`).
 
-    def nyq_atten(cutoff):
-        h = windowed_sinc(sinc_len, cutoff, window)
-        k = np.arange(len(h))
-        resp = np.abs(np.sum(h * np.cos(np.pi * (k - (len(h) - 1) / 2.0))))
-        return 20 * np.log10(max(resp, 1e-15))
+    Two probe rules matter (both caught by the swept-noise alias gate
+    pinned to the reference's -83.1 dB, BASELINE.md):
+
+    - evaluate on the continuous (oversampled) prototype — a symmetric
+      even-length FIR is Type II with a structural zero at Nyquist, so the
+      L-tap response there reads -inf for every cutoff and the search runs
+      away to 1.0; the applied filter interpolates fractional phases of
+      the continuous prototype, which has no such null;
+    - probe the MAX response over the whole folded band [Nyquist, 2fs],
+      not the point response at Nyquist — sidelobe ripple makes the point
+      probe non-monotone and bisection can land on a ripple null with the
+      first (highest) sidelobe still above the floor.
+
+    Target = the window's far-stopband sidelobe floor (-83.05 dB for
+    128-tap Blackman — the same floor the reference's rubato path lands
+    on, hence its measured -83.096 dB swept-noise attenuation)."""
+    O = 32  # prototype oversampling for the response probes
+    n_fft = sinc_len * O * 8
+
+    def dense_response(cutoff):
+        dense = windowed_sinc(sinc_len * O, cutoff / O, window) * O
+        return np.abs(np.fft.rfft(dense, n_fft)) / O
+
+    def band_max_db(H, lo_cyc, hi_cyc):
+        lo = int(np.ceil(lo_cyc / O * n_fft))
+        hi = int(np.floor(hi_cyc / O * n_fft))
+        return 20.0 * np.log10(max(float(H[lo:hi].max()), 1e-15))
+
+    # sidelobe floor: far stopband of a mid-cutoff design, past the
+    # transition (half-width ~ 6/L cycles/sample for this window family)
+    floor_db = band_max_db(dense_response(0.25), 0.125 + 6.0 / sinc_len, 2.0)
+    target_db = min(floor_db, -60.0)
+
+    def stop_atten(cutoff):
+        return band_max_db(dense_response(cutoff), 0.5, 2.0)
 
     lo, hi = 0.2, 1.0
-    for _ in range(40):
+    for _ in range(30):
         mid = 0.5 * (lo + hi)
-        if nyq_atten(mid) <= target_db:
+        if stop_atten(mid) <= target_db:
             lo = mid
         else:
             hi = mid

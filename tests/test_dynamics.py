@@ -276,3 +276,49 @@ def test_streaming_meter_matches_offline():
     for i in range(0, len(x), 480):
         state, lufs = loudness.meter_process(state, jnp.asarray(x[i : i + 480]))
     assert abs(float(lufs) - (-23.01)) < 0.1
+
+
+# ------------------- compressor auto-makeup invariance -------------------
+
+
+def test_auto_makeup_activity_smoothing_is_block_size_invariant():
+    """`compressor.rs:1084-1105` — one second of constant full activity
+    must land the smoothed activity score at the same value regardless of
+    how the second is partitioned into blocks."""
+    from audioforge_tpu.ops import compressor as comp
+
+    import jax
+
+    def activity_after_one_second(block_size):
+        cfg = comp.CompressorConfig(sample_rate=FS, enabled=True,
+                                    auto_makeup_enabled=True,
+                                    block_samples=block_size)
+        params = comp.compressor_params(cfg)
+        state = comp.compressor_init(cfg, params)
+        y = jnp.zeros(block_size, jnp.float32)
+        one = jnp.float32(1.0)
+        n_blocks, rem = divmod(48_000, block_size)
+
+        @jax.jit
+        def run(state):
+            def body(st, _):
+                st, _m = comp.finalize_block(cfg, params, st, st, y,
+                                             block_size, one, one,
+                                             jnp.float32(0.0))
+                return st, None
+            st, _ = jax.lax.scan(body, state, None, length=n_blocks)
+            return st
+
+        state = run(state)
+        if rem:
+            state, _ = comp.finalize_block(cfg, params, state, state,
+                                           y[:rem], rem, one, one,
+                                           jnp.float32(0.0))
+        return float(state["speech_activity_score"])
+
+    reference = activity_after_one_second(480)
+    for block_size in [1, 48, 240, 960, 4096, 48000]:
+        candidate = activity_after_one_second(block_size)
+        assert abs(candidate - reference) < 1e-5, (
+            f"block size {block_size} changed activity from "
+            f"{reference} to {candidate}")
