@@ -15,6 +15,25 @@ import sys
 import time
 
 
+def _strip_platform_args(raw_args: list[str]) -> list[str]:
+    """Rebuild argv for the platform re-exec, dropping only the
+    ``--platform`` option itself (both ``--platform X`` and
+    ``--platform=X`` forms) — never positional args that happen to equal
+    the platform string (a file named ``cpu`` must survive)."""
+    kept, skip = [], False
+    for a in raw_args:
+        if skip:
+            skip = False
+            continue
+        if a == "--platform":
+            skip = True
+            continue
+        if a.startswith("--platform="):
+            continue
+        kept.append(a)
+    return kept
+
+
 def _cmd_devices(_args) -> int:
     from .runtime.processor import list_input_devices, list_output_devices
 
@@ -56,6 +75,25 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _read_wav_48k_mono(path):
+    """Strictly validated WAV reader for the serve path: 48 kHz, mono,
+    16-bit PCM only — a 24-bit or float32 file must error, never be
+    silently reinterpreted as int16."""
+    import wave
+
+    import numpy as np
+
+    with wave.open(str(path), "rb") as handle:
+        if handle.getframerate() != 48000 or handle.getnchannels() != 1:
+            raise ValueError(f"{path} must be 48 kHz mono")
+        if handle.getsampwidth() != 2:
+            raise ValueError(
+                f"{path} must be 16-bit PCM (got sample width "
+                f"{handle.getsampwidth() * 8} bits)")
+        raw = handle.readframes(handle.getnframes())
+    return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+
+
 def _cmd_serve(args) -> int:
     """Bulk multi-stream processing: N WAVs advance together through one
     batched device step (`runtime/serving.py`), full live chain per
@@ -73,14 +111,7 @@ def _cmd_serve(args) -> int:
         print("no inputs", file=sys.stderr)
         return 2
 
-    def read_wav(path):
-        with wave.open(str(path), "rb") as handle:
-            if handle.getframerate() != 48000 or handle.getnchannels() != 1:
-                raise ValueError(f"{path} must be 48 kHz mono")
-            raw = handle.readframes(handle.getnframes())
-        return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
-
-    audios = [read_wav(p) for p in paths]
+    audios = [_read_wav_48k_mono(p) for p in paths]
     n_blocks = max(-(-a.size // BLOCK) for a in audios)
     cfg = ServingConfig(
         capacity=len(paths),
@@ -189,10 +220,10 @@ def main(argv=None) -> int:
             # the backend; re-exec with the env hook so the override lands
             # before any device constant materializes
             os.environ["AUDIOFORGE_PLATFORM"] = args.platform
+            kept = _strip_platform_args(
+                list(argv if argv is not None else sys.argv[1:]))
             os.execv(sys.executable,
-                     [sys.executable, "-m", "audioforge_tpu"]
-                     + [a for a in (argv or sys.argv[1:])
-                        if a not in ("--platform", args.platform)])
+                     [sys.executable, "-m", "audioforge_tpu"] + kept)
     import jax
 
     # persistent compile cache: the fused chain kernels are compile-heavy

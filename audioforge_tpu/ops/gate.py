@@ -198,6 +198,7 @@ def gate_process(
             "gain": state["current_gain"],
             "chatter_events": state["chatter_event_count"],
             "fused_score": state["fused_gate_score"],
+            "auto_relax_active": state["auto_relax_remaining"] > 0,
         }
         return state, x, metrics
 
@@ -466,5 +467,6 @@ def gate_process(
         "fused_score": final["fused_gate_score"],
         "gate_state": final["gate_state"],
         "detector_level_db": final["detector_level_db"],
+        "auto_relax_active": final["auto_relax_remaining"] > 0,
     }
     return final, y, metrics

@@ -175,7 +175,10 @@ def _phase_table(sinc_len: int, window: str, cutoff: float | None = None):
     table = np.stack(
         [densep[(L - 1 - k) * O + p + 2] for p in range(-1, O + 2)]
     )
-    return jnp.asarray(table, jnp.float32), c
+    # NUMPY constant on purpose: a cached jnp array materialized during a
+    # jit trace would leak that trace's tracer into later traces (see
+    # ops/dft.py); callers re-embed per trace with jnp.asarray
+    return table.astype(np.float32), c
 
 
 def resample(x, in_rate: float, out_rate: float, sinc_len: int = PRODUCT_SINC_LEN,
@@ -193,7 +196,8 @@ def resample(x, in_rate: float, out_rate: float, sinc_len: int = PRODUCT_SINC_LE
     # (`resampling.rs:147` via rubato's ratio-scaled cutoff).
     base_cutoff = _auto_cutoff(sinc_len, window)
     eff_cutoff = round(base_cutoff * min(1.0, ratio), 9)
-    table, _ = _phase_table(sinc_len, window, eff_cutoff)
+    table_np, _ = _phase_table(sinc_len, window, eff_cutoff)
+    table = jnp.asarray(table_np)
     n_in = x.shape[-1]
     n_out = int(np.floor(n_in * ratio))
     half = sinc_len // 2
@@ -292,10 +296,16 @@ VAD_DECIMATE_TAPS = 31
 
 @lru_cache(maxsize=2)
 def _decimate3_kernel():
-    """31-tap anti-aliased windowed sinc at 1/3 band (`vad.rs:530-578`)."""
-    return jnp.asarray(
-        windowed_sinc(VAD_DECIMATE_TAPS, 1.0 / 3.0, "blackman"), jnp.float32
-    )
+    """31-tap anti-aliased windowed sinc at 1/3 band (`vad.rs:530-578`).
+
+    Caches the NUMPY constant: a jnp array materialized during a jit trace
+    would be a traced constant, and caching it leaks the tracer into later
+    traces (same hazard as the DFT matrix cache, `ops/dft.py`). Callers
+    re-embed it per trace via ``jnp.asarray`` — free for a 31-float
+    constant."""
+    return np.flip(
+        windowed_sinc(VAD_DECIMATE_TAPS, 1.0 / 3.0, "blackman")
+    ).astype(np.float32)
 
 
 def decimate3_init(batch_shape=()):
@@ -307,10 +317,10 @@ def decimate3(state, x):
     Returns ``(new_state, y)`` with ``len(y) = len(x)//3``."""
     T = x.shape[-1]
     ext = jnp.concatenate([state["hist"], x], axis=-1)
-    k = _decimate3_kernel()
+    k = jnp.asarray(_decimate3_kernel())  # pre-flipped numpy constant
     idx = (jnp.arange(T // 3) * 3)[:, None] + jnp.arange(VAD_DECIMATE_TAPS)[None, :]
     windows = ext[..., idx]
-    y = jnp.einsum("...ot,t->...o", windows, jnp.flip(k), preferred_element_type=jnp.float32)
+    y = jnp.einsum("...ot,t->...o", windows, k, preferred_element_type=jnp.float32)
     return {"hist": ext[..., -(VAD_DECIMATE_TAPS - 1):]}, y
 
 

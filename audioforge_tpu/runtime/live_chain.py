@@ -262,6 +262,7 @@ def front_block(config: LiveChainConfig, params, state, x,
         "gate_is_open": gate_metrics["is_open"],
         "gate_chatter_events": gate_metrics["chatter_events"],
         "gate_fused_score": gate_metrics["fused_score"],
+        "gate_auto_relax_active": gate_metrics["auto_relax_active"],
         "noise_floor_db": vout["noise_floor_db"],
         "noise_floor_reliability": vout["reliability"],
         "gate_threshold_db": vout["threshold_db"],

@@ -332,6 +332,7 @@ class AudioProcessor:
             "gate_is_open": False,
             "gate_fused_score": 0.0,
             "gate_chatter_events": 0,
+            "gate_auto_relax_active": False,
             "noise_floor_db": -60.0,
             "noise_floor_reliability": 0.0,
             "gate_threshold_db": -40.0,
@@ -1017,6 +1018,7 @@ class AudioProcessor:
         m["gate_is_open"] = bool(fm["gate_is_open"])
         m["gate_fused_score"] = float(fm["gate_fused_score"])
         m["gate_chatter_events"] = int(fm["gate_chatter_events"])
+        m["gate_auto_relax_active"] = bool(fm["gate_auto_relax_active"])
         m["noise_floor_db"] = float(fm["noise_floor_db"])
         m["noise_floor_reliability"] = float(fm["noise_floor_reliability"])
         m["gate_threshold_db"] = float(fm["gate_threshold_db"])
@@ -1919,9 +1921,14 @@ class AudioProcessor:
             "limiter_careful_output_enabled": topo["careful_output_enabled"],
             "limiter_effective_ceiling_db": ceiling,
             "gate_chatter_event_count": m["gate_chatter_events"],
-            "gate_auto_relax_active": False,
+            "gate_auto_relax_active": m["gate_auto_relax_active"],
             "deesser_detector_confidence": m["deesser_detector_confidence"],
-            "input_resampler_active": False,
+            "input_resampler_active": (
+                getattr(self, "_input_device_rate", SAMPLE_RATE)
+                != SAMPLE_RATE
+            ),
+            # virtual outputs are pinned to the 48 kHz engine rate; no
+            # output-side resampler exists in this deviceless environment
             "output_resampler_active": False,
             "output_sample_rate": SAMPLE_RATE,
             "output_fixed_buffer_frames": BLOCK,

@@ -45,6 +45,7 @@ free (pure data parallelism over streams — SURVEY §2.9's fleet story).
 
 from __future__ import annotations
 
+import collections
 import threading
 import time
 from dataclasses import dataclass, field
@@ -75,6 +76,11 @@ _RESET_COOLDOWN_BLOCKS = 200
 
 # VAD cadence: 160 fresh 16 kHz samples per block into a 576-sample rolling
 # model window; warm after ceil(576/160) = 4 blocks.
+_STEP_TIME_HISTORY = 2048  # per-block step times kept for the histogram
+# log-spaced latency buckets (ms) for engine_diagnostics; the last bucket
+# is open-ended
+_LATENCY_BUCKETS_MS = (0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0)
+
 _VAD_IN_PER_BLOCK = BLOCK // 3
 _VAD_WARMUP_BLOCKS = -(-silero.MODEL_INPUT_SIZE // _VAD_IN_PER_BLOCK)
 
@@ -146,19 +152,21 @@ def _serving_state_init(config: ServingConfig, eq_bands=None) -> dict:
     return state
 
 
-def _masked_reset(state, fresh, reset_mask):
-    """Blend fresh per-slot state in where ``reset_mask`` is set. Every
-    batched leaf leads with the ``[capacity]`` stream axis; shared scalar
-    leaves (e.g. meter coefficients) pass through untouched."""
+def _masked_reset(state, fresh, reset_mask, axes):
+    """Blend fresh per-slot state in where ``reset_mask`` is set. ``axes``
+    is the per-leaf batch-axis pytree (0 = leads with the ``[capacity]``
+    stream axis, None = shared leaf, e.g. meter coefficients) — the same
+    rank-vs-reference map the vmap axes use, so a shared leaf whose leading
+    dim happens to equal the capacity is never mask-blended."""
     n = reset_mask.shape[0]
 
-    def blend(cur, new):
-        if cur.ndim == 0 or cur.shape[0] != n:
+    def blend(cur, new, ax):
+        if ax is None:
             return cur
         m = reset_mask.reshape((n,) + (1,) * (cur.ndim - 1))
         return jnp.where(m, new, cur)
 
-    return jax.tree_util.tree_map(blend, state, fresh)
+    return jax.tree_util.tree_map(blend, state, fresh, axes)
 
 
 def _supp_step(config: ServingConfig, sp, state, x):
@@ -202,7 +210,10 @@ def _supp_step(config: ServingConfig, sp, state, x):
     fresh_model = (rnnoise.rnnoise_state_init((config.capacity,))
                    if model == "rnnoise"
                    else dfn3.dfn_state_init((config.capacity,)))
-    mstate = _masked_reset(mstate, fresh_model, do_reset)
+    mstate = _masked_reset(
+        mstate, fresh_model, do_reset,
+        jax.tree_util.tree_map(lambda _: 0, mstate),
+    )
     count = jnp.where(do_reset, 0, count)
     cooldown = jnp.where(do_reset, _RESET_COOLDOWN_BLOCKS, cooldown)
 
@@ -275,6 +286,17 @@ def _chain_state_axes(config: ServingConfig, batched_chain_state):
     )
 
 
+def _serving_state_axes(config: ServingConfig, state):
+    """Batch-axis pytree for the full serving state: chain leaves by the
+    rank-vs-reference rule, suppressor/VAD leaves all stream-batched (their
+    init fns take the batch shape explicitly)."""
+    axes = {"chain": _chain_state_axes(config, state["chain"])}
+    for group in ("supp", "vad"):
+        if group in state:
+            axes[group] = jax.tree_util.tree_map(lambda _: 0, state[group])
+    return axes
+
+
 def _serving_step(config: ServingConfig, params, state, fresh, x,
                   active, reset_mask, ext_vad_prob, ext_vad_avail):
     """The fused batched block step. All args traced except ``config``.
@@ -285,7 +307,8 @@ def _serving_step(config: ServingConfig, params, state, fresh, x,
     batched and run outside the vmap.
     """
     n = config.capacity
-    state = _masked_reset(state, fresh, reset_mask)
+    state = _masked_reset(state, fresh, reset_mask,
+                          _serving_state_axes(config, state))
     x = jnp.where(active[:, None], x, 0.0)
 
     if config.vad_enabled:
@@ -340,7 +363,8 @@ def _serving_scan(config: ServingConfig, params, state, fresh, xs,
     (transcode farms, offline multiplexing); the per-block :func:`_serving_step`
     stays the interactive-latency path. Slot resets apply once, before the
     first scanned block."""
-    state = _masked_reset(state, fresh, reset_mask)
+    state = _masked_reset(state, fresh, reset_mask,
+                          _serving_state_axes(config, state))
     no_reset = jnp.zeros_like(reset_mask)
 
     def body(st, xb):
@@ -389,6 +413,7 @@ class ServingEngine:
         self._lock = threading.RLock()
         self._slots = [_Slot() for _ in range(n)]
         self._reset_pending = np.zeros(n, bool)
+        self._pending_eq = {}
         self._fresh = _serving_state_init(self.config, eq_bands)
         self._state = self._fresh
         self._last_metrics = None
@@ -441,8 +466,13 @@ class ServingEngine:
         self._thread = None
         self._running = False
         self.realtime_pacing = False
+        self.pipelined_loop = True
         self.steps = 0
         self.last_step_seconds = 0.0
+        # per-block step-time history (seconds), bounded; feeds the
+        # latency histogram in engine_diagnostics (round-1 review #8:
+        # p99 swings were invisible without variance tracking)
+        self._step_times = collections.deque(maxlen=_STEP_TIME_HISTORY)
 
         if sharding is not None:
             self._state = self._put_sharded(self._state)
@@ -496,6 +526,7 @@ class ServingEngine:
                     s.underruns = 0
                     s.blocks = 0
                     self._reset_pending[i] = True
+                    self._pending_eq.pop(i, None)  # stale staged EQ
                     self._chain_kw[i] = {}
                     self._write_chain_params(i, lc.live_params(self.config.chain))
                     if self.config.suppressor_model is not None:
@@ -510,6 +541,7 @@ class ServingEngine:
             s.active = False
             s.sink = None
             s.pending = np.zeros(0, np.float32)
+            self._pending_eq.pop(slot, None)
 
     def push(self, slot: int, samples) -> None:
         """Queue 48 kHz mono samples for a stream."""
@@ -552,15 +584,17 @@ class ServingEngine:
             self._params_dirty = True
 
     def set_stream_eq(self, slot: int, eq_bands) -> None:
-        """Replace one stream's EQ program (state surgery between steps)."""
+        """Replace one stream's EQ program. Staged like slot resets: the
+        fresh EQ tree is recorded under the lock and applied in
+        :meth:`_gather` at the next step boundary, so a concurrent
+        ``step()``/``step_pipelined()``/free-run loop replacing
+        ``self._state`` can neither discard the update nor resurrect
+        pre-step EQ state."""
         from ..ops import eq as eq_ops
 
         fresh_eq = eq_ops.eq_init(eq_bands, self.config.chain.sample_rate)
         with self._lock:
-            self._state["chain"]["eq"] = jax.tree_util.tree_map(
-                lambda cur, new: cur.at[slot].set(new),
-                self._state["chain"]["eq"], fresh_eq,
-            )
+            self._pending_eq[slot] = fresh_eq
 
     # ---------------------------------------------------------------- step
     def _device_params(self):
@@ -584,6 +618,16 @@ class ServingEngine:
         with self._lock:
             reset = self._reset_pending.copy()
             self._reset_pending[:] = False
+            if self._pending_eq:
+                # a slot being reset THIS step would have its surgery wiped
+                # by the in-graph masked reset — hold its EQ until the step
+                # after the reset lands
+                for slot in [s for s in self._pending_eq if not reset[s]]:
+                    fresh_eq = self._pending_eq.pop(slot)
+                    self._state["chain"]["eq"] = jax.tree_util.tree_map(
+                        lambda cur, new: cur.at[slot].set(new),
+                        self._state["chain"]["eq"], fresh_eq,
+                    )
             for i, s in enumerate(self._slots):
                 if not s.active:
                     continue
@@ -624,6 +668,7 @@ class ServingEngine:
         self._last_metrics = metrics
         self.steps += 1
         self.last_step_seconds = time.perf_counter() - t0
+        self._step_times.append(self.last_step_seconds)
         return metrics
 
     def step_pipelined(self, ext_vad_prob=None, ext_vad_avail=None):
@@ -657,6 +702,7 @@ class ServingEngine:
         self._inflight = (y, metrics)
         self.steps += 1
         self.last_step_seconds = time.perf_counter() - t0
+        self._step_times.append(self.last_step_seconds)
         return delivered
 
     def flush_pipeline(self):
@@ -691,6 +737,10 @@ class ServingEngine:
         self._last_metrics = metrics
         self.steps += n_blocks
         self.last_step_seconds = time.perf_counter() - t0
+        # fused spans amortize dispatch: record the per-block share so the
+        # histogram stays comparable across step()/step_many() mixes
+        per_block = self.last_step_seconds / n_blocks
+        self._step_times.extend([per_block] * n_blocks)
         return metrics
 
     def _ext_vad(self, prob, avail):
@@ -732,10 +782,16 @@ class ServingEngine:
         self.flush_pipeline()
 
     def _loop(self):
+        """Free-run driver. Defaults to the pipelined step (device compute
+        for block t overlaps host delivery of block t-1) — one block of
+        extra sink latency buys back the dispatch+transfer time on every
+        block; set ``pipelined_loop = False`` before :meth:`start` for
+        strict same-call delivery."""
         period = BLOCK / self.config.chain.sample_rate
+        advance = self.step_pipelined if self.pipelined_loop else self.step
         next_t = time.perf_counter()
         while self._running:
-            self.step()
+            advance()
             if self.realtime_pacing:
                 next_t += period
                 delay = next_t - time.perf_counter()
@@ -773,6 +829,32 @@ class ServingEngine:
                     out[key] = int(np.asarray(self._last_metrics[key])[slot])
         return out
 
+    def latency_histogram(self) -> dict:
+        """Per-block step-time distribution over the last
+        ``_STEP_TIME_HISTORY`` blocks: log-spaced bucket counts plus
+        p50/p95/p99/max (ms). Fused ``step_many`` spans contribute their
+        per-block share so mixed workloads stay comparable."""
+        times_ms = np.asarray(self._step_times, np.float64) * 1000.0
+        edges = list(_LATENCY_BUCKETS_MS)
+        counts = [0] * (len(edges) + 1)
+        if times_ms.size:
+            idx = np.searchsorted(edges, times_ms, side="left")
+            for i in idx:
+                counts[int(i)] += 1
+        out = {
+            "samples": int(times_ms.size),
+            "bucket_upper_bounds_ms": edges + [float("inf")],
+            "bucket_counts": counts,
+        }
+        if times_ms.size:
+            out.update(
+                p50_ms=float(np.percentile(times_ms, 50)),
+                p95_ms=float(np.percentile(times_ms, 95)),
+                p99_ms=float(np.percentile(times_ms, 99)),
+                max_ms=float(times_ms.max()),
+            )
+        return out
+
     def engine_diagnostics(self) -> dict:
         return {
             "capacity": self.capacity,
@@ -782,4 +864,6 @@ class ServingEngine:
             "suppressor_model": self.config.suppressor_model,
             "vad_enabled": self.config.vad_enabled,
             "realtime_pacing": self.realtime_pacing,
+            "pipelined_loop": self.pipelined_loop,
+            "step_latency": self.latency_histogram(),
         }

@@ -69,6 +69,7 @@ class EqCurveModel:
     overlay_bands: list = field(default_factory=list)
     band_markers: list = field(default_factory=list)
     interaction_warnings: list = field(default_factory=list)
+    show_overlay: bool = False
 
     selected_band_index: int | None = None
     _drag_band_index: int | None = None
@@ -106,12 +107,14 @@ class EqCurveModel:
         return self.margin_left + normalized * plot_width
 
     def x_to_frequency(self, x: float) -> float:
+        """Map x back to a clamped 1 Hz-precision value (`eq_curve.py:128`) —
+        drags land on whole hertz, matching the numeric spin boxes."""
         plot_width, _ = self._plot_size()
         normalized = min(1.0, max(0.0, (float(x) - self.margin_left) / plot_width))
         log_frequency = math.log10(self.frequency_min_hz) + normalized * (
             math.log10(self.frequency_max_hz) - math.log10(self.frequency_min_hz)
         )
-        return 10.0 ** log_frequency
+        return float(round(10.0 ** log_frequency))
 
     def gain_to_y(self, gain_db: float) -> float:
         _, plot_height = self._plot_size()
@@ -122,12 +125,15 @@ class EqCurveModel:
         return self.margin_top + normalized * plot_height
 
     def y_to_gain(self, y: float) -> float:
+        """Map y back to clamped 0.1 dB precision (`eq_curve.py:139-150`) —
+        the drag quantum equals the keyboard fine-nudge step."""
         _, plot_height = self._plot_size()
         normalized = min(1.0, max(0.0, (float(y) - self.margin_top) / plot_height))
         display_gain = self.display_db_max - normalized * (
             self.display_db_max - self.display_db_min
         )
-        return min(self.gain_max_db, max(self.gain_min_db, display_gain))
+        clamped = min(self.gain_max_db, max(self.gain_min_db, display_gain))
+        return round(clamped * 10.0) / 10.0
 
     # ---- hit testing (`eq_curve.py:152-170`) ----
 
@@ -246,24 +252,74 @@ class EqCurveModel:
 
     # ---- model sync (`eq_curve.py:361-489`) ----
 
+    @staticmethod
+    def _positional_filter_type(index: int) -> str:
+        """Legacy 3-field bands carry no type; infer it from the slot the
+        way the widget does (`eq_curve.py:407-414`): band 0 is the low
+        shelf, band 9 the high shelf, everything else a bell."""
+        return "low_shelf" if index == 0 else (
+            "high_shelf" if index == 9 else "bell")
+
+    def set_band_params(self, band_index, frequency, gain_db, q):
+        """Legacy single-band update — frequency/gain/Q only, the typed
+        fields survive (`eq_curve.py:354-371`)."""
+        if 0 <= band_index < len(self.bands):
+            filter_type, _f, _g, _q, slope, enabled = self.bands[band_index]
+            self.bands[band_index] = (
+                filter_type, float(frequency), float(gain_db), float(q),
+                slope, enabled,
+            )
+            self._update_response()
+
     def set_band_config(self, band_index, filter_type, frequency, gain_db, q,
                         slope, enabled):
-        self.bands[band_index] = (
-            str(filter_type), float(frequency), float(gain_db), float(q),
-            int(slope), bool(enabled),
-        )
-        self._update_response()
+        if 0 <= band_index < len(self.bands):
+            self.bands[band_index] = (
+                str(filter_type), float(frequency), float(gain_db), float(q),
+                int(slope), bool(enabled),
+            )
+            self._update_response()
 
     def set_all_params(self, bands):
-        self.bands = [tuple(b) for b in bands]
+        """Bulk update accepting native v2 6-tuples OR legacy
+        ``(frequency, gain, Q)`` 3-tuples (`eq_curve.py:399-438`); extra
+        entries beyond the model's band count are ignored, any other arity
+        raises."""
+        for i, band in enumerate(bands):
+            if i >= len(self.bands):
+                break
+            if len(band) == 3:
+                freq, gain_db, q = band
+                self.bands[i] = (
+                    self._positional_filter_type(i), float(freq),
+                    float(gain_db), float(q), 12, True,
+                )
+            elif len(band) == 6:
+                filter_type, freq, gain_db, q, slope, enabled = band
+                self.bands[i] = (
+                    str(filter_type), float(freq), float(gain_db), float(q),
+                    int(slope), bool(enabled),
+                )
+            else:
+                raise ValueError(
+                    "EQ bands must contain either 3 legacy or 6 typed fields"
+                )
         self._update_response()
 
     def set_overlay_params(self, bands):
-        self.overlay_bands = [tuple(b) for b in bands]
+        """Overlay comparison curve from legacy ``(frequency, gain, Q)``
+        tuples, types inferred positionally (`eq_curve.py:441-469`)."""
+        self.overlay_bands = [
+            (self._positional_filter_type(i), float(freq), float(gain_db),
+             float(q), 12, True)
+            for i, (freq, gain_db, q) in enumerate(bands)
+        ]
+        self.show_overlay = True
         self.overlay_response_db = self._native_response(self.overlay_bands)
 
     def clear_overlay(self):
         self.overlay_bands = []
+        self.show_overlay = False
         self.overlay_response_db = None
 
     def set_band_markers(self, frequencies_hz):
@@ -286,10 +342,30 @@ class EqCurveModel:
 
     def _update_response(self):
         self.response_db = self._native_response(self.bands)
-        from ..analysis.eq_quality import evaluate_eq_quality
+        from ..analysis.eq_quality import (EqInteractionWarning,
+                                           evaluate_eq_quality)
 
         freqs = [b[1] for b in self.bands]
-        gains = [b[2] if b[5] else 0.0 for b in self.bands]
+        # pass filters have no meaningful gain field — treat as 0 like the
+        # widget does (`eq_curve.py:330-336`)
+        gains = [b[2] if b[0] in _GAIN_FILTER_TYPES and b[5] else 0.0
+                 for b in self.bands]
         qs = [b[3] for b in self.bands]
         metrics = evaluate_eq_quality(freqs, gains, qs, self.sample_rate)
-        self.interaction_warnings = list(metrics.warnings)
+        warnings = list(metrics.warnings)
+        # the analytic grid can miss boost that only the exact rendered
+        # cascade shows (pass-filter interactions): synthesize max_boost
+        # from the native response when absent (`eq_curve.py:338-353`)
+        max_index = max(range(len(self.response_db)),
+                        key=self.response_db.__getitem__)
+        max_boost_db = self.response_db[max_index]
+        if (max_boost_db > 10.5
+                and not any(w.kind == "max_boost" for w in warnings)):
+            warnings.append(EqInteractionWarning(
+                "max_boost",
+                float(self.freq_points[max_index]),
+                min(1.0, (max_boost_db - 10.5) / 6.0),
+                "Combined boost is high",
+            ))
+        warnings.sort(key=lambda w: w.severity, reverse=True)
+        self.interaction_warnings = warnings

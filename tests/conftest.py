@@ -28,6 +28,40 @@ enable_compile_cache()
 import numpy as np
 import pytest
 
+# Compile-heavy suites (fused chain / serving / engine graphs): on the
+# single-core CPU dev host their XLA compiles dominate wall clock. The
+# two-tier split keeps the default developer loop under budget:
+#
+#   pytest -m "not jit_heavy" -q     # fast tier (numeric DSP + aux logic)
+#   pytest -m jit_heavy -q           # compile-heavy tier
+#
+# Both tiers together are the full suite; see docs/testing.md for the
+# measured per-file wall times behind this list.
+JIT_HEAVY_MODULES = frozenset({
+    "test_serving.py",
+    "test_runtime.py",
+    "test_fused_chain.py",
+    "test_golden.py",
+    "test_models.py",
+    "test_sharding.py",
+    "test_rnnoise_exact.py",
+    "test_api.py",
+})
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "jit_heavy: compile-heavy suite (fused chain/serving/engine graphs)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module_file = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        if module_file in JIT_HEAVY_MODULES:
+            item.add_marker(pytest.mark.jit_heavy)
+
 
 @pytest.fixture
 def rng():

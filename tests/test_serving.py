@@ -496,3 +496,79 @@ class TestServingPresets:
         warnings = apply_preset_to_stream(eng, s, preset)
         assert any("compressor_enabled" in w for w in warnings)
         assert any("noise model" in w for w in warnings)
+
+
+class TestStagedEqReplace:
+    def test_set_stream_eq_applies_and_survives_state_swap(self):
+        """set_stream_eq stages the fresh EQ tree under the lock and applies
+        it at the next step boundary — a concurrent step replacing
+        ``self._state`` between the call and the apply (the race in round-1
+        review) must not discard the update."""
+        from audioforge_tpu.ops import eq as eq_ops
+
+        cfg = ServingConfig(capacity=2, suppressor_model=None,
+                            vad_enabled=False, chain=_chain_cfg())
+        eng = ServingEngine(cfg)
+        sinks = [[], []]
+        s0 = eng.attach(sink=lambda b: sinks[0].append(b.copy()))
+        s1 = eng.attach(sink=lambda b: sinks[1].append(b.copy()))
+        # keep the gate wide open so it cannot skew the comparison
+        for s in (s0, s1):
+            eng.set_stream_params(s, gate_threshold_db=-80.0)
+
+        boost = [
+            eq_ops.EqBandConfig(b.filter_type, b.frequency_hz,
+                                12.0 if abs(b.frequency_hz - 1280.0) < 1.0
+                                else 0.0,
+                                1.0, b.slope_db_per_octave, True)
+            for b in eq_ops.default_bands()
+        ]
+        eng.set_stream_eq(s0, boost)
+        # simulate the concurrent step's state swap racing the update: the
+        # old read-modify-write surgery would now be lost
+        eng._state = jax.tree_util.tree_map(lambda a: a, eng._state)
+
+        x = _tone(30, freq=1280.0, amp=0.05)
+        eng.push(s0, x)
+        eng.push(s1, x)
+        for _ in range(30):
+            eng.step()
+        tail0 = np.concatenate(sinks[0][15:])
+        tail1 = np.concatenate(sinks[1][15:])
+        gain_db = 20.0 * np.log10(
+            np.sqrt(np.mean(tail0**2)) / np.sqrt(np.mean(tail1**2)))
+        assert gain_db > 6.0, f"staged +12 dB EQ not applied ({gain_db:.2f} dB)"
+
+
+class TestMaskedResetAxes:
+    def test_shared_leaves_survive_reset_at_matching_capacity(self):
+        """`_masked_reset` must use the rank-vs-reference axis map: at
+        capacity 2 the chain state contains shared leaves whose leading dim
+        equals the capacity (e.g. [2, 5] K-weighting coefficient rows); the
+        old shape heuristic mask-blended them."""
+        from audioforge_tpu.runtime import serving as srv
+
+        cfg = ServingConfig(capacity=2, suppressor_model=None,
+                            vad_enabled=False, chain=_chain_cfg())
+        state = srv._serving_state_init(cfg)
+        axes = srv._serving_state_axes(cfg, state)
+        # at least one shared leaf must have a leading dim == capacity for
+        # this test to bite
+        leaves = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda leaf, ax: (ax is None and jnp.ndim(leaf) > 0
+                                  and leaf.shape[0] == cfg.capacity),
+                state, axes))
+        assert any(bool(v) for v in leaves), (
+            "fixture lost its teeth: no shared leaf with leading dim == "
+            "capacity at capacity 2")
+
+        poisoned = jax.tree_util.tree_map(lambda a: a + 1000.0, state)
+        out = srv._masked_reset(state, poisoned,
+                                jnp.asarray([True, False]), axes)
+
+        def check(cur, new, ax, orig):
+            if ax is None:
+                np.testing.assert_array_equal(np.asarray(cur),
+                                              np.asarray(orig))
+        jax.tree_util.tree_map(check, out, poisoned, axes, state)

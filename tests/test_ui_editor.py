@@ -25,11 +25,17 @@ from audioforge_tpu.ui_logic import (
 
 class TestEqCurveModel:
     def test_coordinate_roundtrip(self):
+        """Transforms quantize like the reference editor: x→frequency lands
+        on whole hertz (`eq_curve.py:128`), y→gain on 0.1 dB
+        (`eq_curve.py:139-150`)."""
         m = EqCurveModel()
         for f in (20.0, 80.0, 1000.0, 12000.0, 20000.0):
-            assert m.x_to_frequency(m.frequency_to_x(f)) == pytest.approx(f, rel=1e-9)
+            back = m.x_to_frequency(m.frequency_to_x(f))
+            assert back == pytest.approx(f, abs=0.5) and back == round(back)
         for g in (-12.0, -3.5, 0.0, 7.25, 12.0):
-            assert m.y_to_gain(m.gain_to_y(g)) == pytest.approx(g, abs=1e-9)
+            back = m.y_to_gain(m.gain_to_y(g))
+            assert back == pytest.approx(g, abs=0.05)
+            assert back == pytest.approx(round(back * 10.0) / 10.0, abs=1e-12)
 
     def test_drag_lifecycle_updates_band_and_response(self):
         m = EqCurveModel()
@@ -94,8 +100,10 @@ class TestEqCurveModel:
 
     def test_overlay_independent_of_main_curve(self):
         m = EqCurveModel()
-        overlay = list(m.bands)
-        overlay[4] = ("bell", 1280.0, 8.0, 2.0, 12, True)
+        # the reference overlay API takes legacy (freq, gain, Q) tuples
+        # (`eq_curve.py:441-449`)
+        overlay = [(b[1], 8.0 if i == 4 else b[2], b[3])
+                   for i, b in enumerate(m.bands)]
         m.set_overlay_params(overlay)
         assert max(m.overlay_response_db) > max(m.response_db) + 3.0
         m.clear_overlay()
@@ -230,3 +238,82 @@ class TestBootstrap:
 
         registered = configure_model_assets()
         assert registered["deepfilter_library"] is None
+
+
+class TestEqCurveReferenceParity:
+    """Editor semantics added for parity with the reference widget's full
+    surface (`python/mic_eq/ui/eq_curve.py:330-489`)."""
+
+    def test_legacy_three_field_set_all_params(self):
+        m = EqCurveModel()
+        legacy = [(100.0 * (i + 1), 1.0, 2.0) for i in range(10)]
+        m.set_all_params(legacy)
+        assert m.bands[0][0] == "low_shelf"
+        assert m.bands[9][0] == "high_shelf"
+        assert all(m.bands[i][0] == "bell" for i in range(1, 9))
+        assert m.bands[3][1] == 400.0 and m.bands[3][4] == 12
+        assert all(b[5] is True for b in m.bands)
+
+    def test_typed_six_field_set_all_params_and_arity_error(self):
+        m = EqCurveModel()
+        typed = [("notch", 500.0 + i, 0.0, 3.0, 12, True) for i in range(10)]
+        m.set_all_params(typed)
+        assert m.bands[2] == ("notch", 502.0, 0.0, 3.0, 12, True)
+        with pytest.raises(ValueError, match="3 legacy or 6 typed"):
+            m.set_all_params([(1.0, 2.0)])
+
+    def test_extra_bands_ignored(self):
+        m = EqCurveModel()
+        m.set_all_params([(100.0, 0.0, 1.0)] * 14)  # 4 beyond capacity
+        assert len(m.bands) == 10
+
+    def test_set_band_params_preserves_typed_fields(self):
+        m = EqCurveModel()
+        m.set_band_config(5, "high_pass", 120.0, 0.0, 0.707, 24, True)
+        m.set_band_params(5, 150.0, 3.0, 1.5)
+        assert m.bands[5] == ("high_pass", 150.0, 3.0, 1.5, 24, True)
+        m.set_band_params(99, 1.0, 1.0, 1.0)  # out of range: no-op
+
+    def test_overlay_legacy_tuples_and_show_flag(self):
+        m = EqCurveModel()
+        assert m.show_overlay is False
+        m.set_overlay_params([(100.0 * (i + 1), 2.0, 1.0)
+                              for i in range(10)])
+        assert m.show_overlay is True
+        assert m.overlay_bands[0][0] == "low_shelf"
+        assert m.overlay_bands[1][0] == "bell"
+        assert m.overlay_bands[9][0] == "high_shelf"
+        assert m.overlay_response_db is not None
+        m.clear_overlay()
+        assert m.show_overlay is False and m.overlay_response_db is None
+
+    def test_drag_quantizes_to_whole_hz_and_tenth_db(self):
+        m = EqCurveModel()
+        x, y = m.band_handle_position(4)
+        m.press(x, y)
+        ev = m.release(x + 13.7, y - 17.3)
+        assert ev.frequency_hz == round(ev.frequency_hz)
+        assert ev.gain_db == pytest.approx(
+            round(ev.gain_db * 10.0) / 10.0, abs=1e-12)
+
+    def test_max_boost_warning_synthesized_and_sorted(self):
+        m = EqCurveModel()
+        # stack three +12 dB bells at the same frequency: the rendered
+        # cascade exceeds 10.5 dB combined boost
+        for i in (3, 4, 5):
+            m.set_band_config(i, "bell", 1000.0, 12.0, 1.0, 12, True)
+        kinds = [w.kind for w in m.interaction_warnings]
+        assert "max_boost" in kinds
+        sev = [w.severity for w in m.interaction_warnings]
+        assert sev == sorted(sev, reverse=True)
+        boost = next(w for w in m.interaction_warnings
+                     if w.kind == "max_boost")
+        assert 500.0 < boost.frequency_hz < 2000.0
+
+    def test_pass_filter_gain_excluded_from_warnings(self):
+        """A high-pass band's gain field is meaningless; it must not feed
+        the interaction-warning evaluator (`eq_curve.py:330-336`)."""
+        m = EqCurveModel()
+        m.set_band_config(0, "high_pass", 80.0, 11.9, 0.707, 48, True)
+        assert not any(w.kind == "max_boost"
+                       for w in m.interaction_warnings)

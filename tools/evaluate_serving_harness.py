@@ -41,6 +41,13 @@ SCAN_SPAN_BLOCKS = 100  # 1 s of audio per fused device call
 SCAN_REPEATS = 5
 INTERACTIVE_WARMUP = 10
 INTERACTIVE_BLOCKS = 60
+# device-side per-block latency distribution (round-1 review #8): fleets
+# small enough for interactive serving, measured by the difference method
+# (T(span) - median T(1)) / (span - 1) so fixed dispatch/tunnel RTT cancels
+DEVICE_LATENCY_FLEETS = (1, 16)
+DEVICE_LATENCY_SPAN = 8
+DEVICE_LATENCY_REPEATS = 40
+DEVICE_LATENCY_RUNS = 3  # across-run variance of the p99
 
 
 def _percentile(values, q):
@@ -122,6 +129,7 @@ def evaluate():
         # skipped at the largest fleet: per-call host transfer dominates on
         # dev tunnels and the figure adds nothing beyond the smaller fleets
         step_times = [io_per_block_s]
+        pipelined_times = [io_per_block_s]
         if fleet <= 256:
             step_times = []
             for i in range(INTERACTIVE_WARMUP + INTERACTIVE_BLOCKS):
@@ -131,6 +139,56 @@ def evaluate():
                 dt = time.perf_counter() - t0
                 if i >= INTERACTIVE_WARMUP:
                     step_times.append(dt)
+            # pipelined interactive: device compute overlaps host delivery
+            # (the free-run loop's default path)
+            pipelined_times = []
+            for i in range(INTERACTIVE_WARMUP + INTERACTIVE_BLOCKS):
+                feed(1)
+                t0 = time.perf_counter()
+                eng.step_pipelined()
+                dt = time.perf_counter() - t0
+                if i >= INTERACTIVE_WARMUP:
+                    pipelined_times.append(dt)
+            eng.flush_pipeline()
+
+        # ---- device-side per-block latency distribution + variance ----
+        device_latency = None
+        if fleet in DEVICE_LATENCY_FLEETS:
+            xs_one = xs[:1]
+            xs_span = xs[:DEVICE_LATENCY_SPAN]
+            float(compute_only(params, eng._state, xs_one))  # compile
+            float(compute_only(params, eng._state, xs_span))
+
+            def run_once():
+                t1, tn = [], []
+                for _ in range(DEVICE_LATENCY_REPEATS):
+                    t0 = time.perf_counter()
+                    float(compute_only(params, eng._state, xs_one))
+                    t1.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    float(compute_only(params, eng._state, xs_span))
+                    tn.append(time.perf_counter() - t0)
+                base = _percentile(t1, 50)
+                return [max(0.0, (t - base) / (DEVICE_LATENCY_SPAN - 1))
+                        for t in tn]
+
+            runs = [run_once() for _ in range(DEVICE_LATENCY_RUNS)]
+            all_samples = [s for run in runs for s in run]
+            run_p99s = [_percentile(run, 99) for run in runs]
+            device_latency = {
+                "method": (
+                    f"(T({DEVICE_LATENCY_SPAN} blocks) - median T(1)) / "
+                    f"{DEVICE_LATENCY_SPAN - 1}; fixed dispatch cancels"),
+                "samples_per_run": DEVICE_LATENCY_REPEATS,
+                "runs": DEVICE_LATENCY_RUNS,
+                "p50_seconds": _percentile(all_samples, 50),
+                "p95_seconds": _percentile(all_samples, 95),
+                "p99_seconds": _percentile(all_samples, 99),
+                "per_run_p99_seconds": run_p99s,
+                "p99_run_spread_seconds": max(run_p99s) - min(run_p99s),
+                "p99_under_block_period": (
+                    _percentile(all_samples, 99) < BLOCK_PERIOD_S),
+            }
 
         results.append({
             "fleet_size": fleet,
@@ -146,6 +204,12 @@ def evaluate():
             "interactive_dispatch_overhead_seconds": max(
                 0.0, _percentile(step_times, 50) - per_block_s
             ),
+            "interactive_pipelined_median_step_seconds": _percentile(
+                pipelined_times, 50),
+            "interactive_pipelined_p95_step_seconds": _percentile(
+                pipelined_times, 95),
+            **({"device_block_latency": device_latency}
+               if device_latency is not None else {}),
         })
 
     throughput_grows = all(
@@ -154,6 +218,10 @@ def evaluate():
         for i in range(len(results) - 1)
     )
     all_realtime = all(r["fused_realtime_ok"] for r in results)
+    device_p99_ok = all(
+        r["device_block_latency"]["p99_seconds"] < BLOCK_PERIOD_S
+        for r in results if "device_block_latency" in r
+    )
     gates_binding = platform != "cpu"
 
     return {
@@ -173,10 +241,12 @@ def evaluate():
             "binding": gates_binding,
             "all_fleets_fused_realtime": all_realtime,
             "throughput_grows_with_fleet": throughput_grows,
+            "device_block_p99_under_period_small_fleets": device_p99_ok,
         },
         "decision": {
             "status": "pass" if (throughput_grows
-                                 and (all_realtime or not gates_binding))
+                                 and ((all_realtime and device_p99_ok)
+                                      or not gates_binding))
             else "fail",
             "summary": (
                 ("fused serving sustains realtime at every fleet size and "
