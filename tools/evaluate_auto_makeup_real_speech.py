@@ -80,6 +80,20 @@ def main() -> int:
         "pause_activity_max": 0.2,
         "p99_block_runtime_ms_max": 25.0,
     }
+    # reference context (BASELINE.md, reference auto-makeup-real-speech
+    # report): inactive-makeup median 0.55 dB (vs 4.12 naive), pumping
+    # 0.0498 (vs 0.0935). NOT gated here: that corpus is recorded
+    # narration at different levels; this record's stimulus is generated
+    # speech, so the binding gates above are relative (speech-vs-pause
+    # relax margin) rather than absolute medians.
+    reference_context = {
+        "inactive_makeup_median_db": 0.55,
+        "naive_inactive_makeup_median_db": 4.12,
+        "pumping_score": 0.0498,
+        "naive_pumping_score": 0.0935,
+        "corpus": "recorded narration (not comparable to this record's "
+                  "generated stimulus)",
+    }
     passed = (
         metrics["speech_makeup_median_db"]
         - metrics["pause_end_makeup_median_db"]
@@ -98,6 +112,7 @@ def main() -> int:
             "control cadence"
         ),
         "predefined_gates": gates,
+        "reference_context": reference_context,
         "metrics": metrics,
         "decision": {
             "auto_makeup": "retain_speech_aware_control" if passed

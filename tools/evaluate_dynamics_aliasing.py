@@ -2,8 +2,14 @@
 
 Framework re-run of `python/tools/evaluate_dynamics_aliasing.py`: drive the
 compressor and limiter with high-frequency tones and measure non-harmonic
-(alias) spurs introduced by the sample-rate gain modulation. Gate: worst
-alias spur at least 60 dB below the tone across the sweep.
+(alias) spurs introduced by the sample-rate gain modulation. Gates:
+
+- worst alias spur at least 60 dB below the tone across the sweep
+  (predefined, stricter than the reference's own bar), and
+- median folded error <= -45.96 dB — the REFERENCE's measured median
+  (BASELINE.md; reference `evaluation/dynamics-aliasing-report.json`
+  metrics.median_folded_error_db), the number behind its "no oversampling
+  of dynamics" decision. This framework must match or beat it.
 """
 
 from __future__ import annotations
@@ -87,8 +93,16 @@ def main() -> int:
             })
 
     worst = max(r["worst_alias_spur_db"] for r in rows)
-    gates = {"alias_spur_max_db": -60.0}
-    passed = worst <= gates["alias_spur_max_db"]
+    median = round(float(np.median([r["worst_alias_spur_db"]
+                                    for r in rows])), 2)
+    gates = {
+        "alias_spur_max_db": -60.0,
+        # BASELINE.md pin: the reference measured a -45.96 dB median
+        # folded error and decided against oversampled dynamics
+        "median_folded_error_max_db_vs_reference": -45.96,
+    }
+    passed = (worst <= gates["alias_spur_max_db"]
+              and median <= gates["median_folded_error_max_db_vs_reference"])
     report = {
         "schema_version": 1,
         "generated_at_utc": utc_now(),
@@ -100,7 +114,9 @@ def main() -> int:
             "limiter": {"ceiling_db": -6.0, "release_ms": 20.0},
         },
         "predefined_gates": gates,
-        "metrics": {"cases": rows, "worst_alias_spur_db": worst},
+        "metrics": {"cases": rows, "worst_alias_spur_db": worst,
+                    "median_folded_error_db": median,
+                    "reference_median_folded_error_db": -45.96},
         "decision": {
             "dynamics": "retain_sample_rate_gain" if passed else "investigate",
             "reason": (

@@ -91,6 +91,10 @@ def main() -> int:
         },
         "predefined_gates": {
             "adopt_if": "overshoot improves >0.05 dB at equal or lower latency",
+            # the reference's own selection record chose 2.0 ms
+            # (BASELINE.md; reference evaluation/limiter-lookahead-report
+            # .json selected_lookahead_ms) — the incumbent below is that pin
+            "reference_selected_lookahead_ms": 2.0,
         },
         "metrics": results,
         "decision": {
