@@ -1,16 +1,19 @@
 """Evaluation-only cross-take Auto-EQ agreement evidence.
 
-Mirrors `python/mic_eq/analysis/auto_eq_parts/cross_take.py`: not imported
-by the production Auto-EQ or Voice Setup paths — retained so the cross-take
-experiment and its objective retention decision stay reproducible.
+Behavioral contract mirrored from
+`python/mic_eq/analysis/auto_eq_parts/cross_take.py` (not imported by the
+production Auto-EQ or Voice Setup paths — retained so the cross-take
+experiment and its objective retention decision stay reproducible):
 
-Given two takes' smoothed spectra with per-bin uncertainty, it measures
-frequency-dependent *agreement* without conflating it with phonetic
-*coverage*: level-normalised shapes are differenced, a precision confidence
-shrinks with combined uncertainty (`1/(1+(u/2.5)^2)`), an agreement
-confidence penalises only mismatch beyond the stated precision
-(Gaussian with 2.5 dB scale), and the per-bin confidence is their
-geometric mean (`cross_take.py:136-163`).
+- each take's spectrum is level-normalised by its 100 Hz–8 kHz median
+  (`cross_take.py:58-68`);
+- per-bin precision confidence `1/(1+(u/2.5)^2)` shrinks with the combined
+  (root-sum-square) uncertainty of the two takes, agreement confidence is a
+  Gaussian (2.5 dB scale) of only the mismatch *beyond* the stated
+  precision, and the per-bin confidence is their geometric mean
+  (`cross_take.py:144-162`);
+- the global confidence is the voice-band (80 Hz–12 kHz) median
+  (`cross_take.py:163-173`).
 """
 
 from __future__ import annotations
@@ -27,6 +30,13 @@ LEVEL_REFERENCE_MIN_HZ = 100.0
 LEVEL_REFERENCE_MAX_HZ = 8_000.0
 PRECISION_SCALE_DB = 2.5
 MISMATCH_SCALE_DB = 2.5
+_UNCERTAINTY_CAP_DB = 40.0
+_MIN_BINS = 16
+_MIN_BAND_BINS = 8
+
+
+def _band_mask(freqs: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    return (freqs >= lo) & (freqs <= hi)
 
 
 @dataclass(frozen=True, slots=True)
@@ -43,48 +53,79 @@ class CrossTakeEvidence:
     second_phonetic_coverage: float
 
     def diagnostics(self) -> dict:
-        voice = (
-            (self.frequencies_hz >= VOICE_MIN_HZ)
-            & (self.frequencies_hz <= VOICE_MAX_HZ)
-        )
+        voice = _band_mask(self.frequencies_hz, VOICE_MIN_HZ, VOICE_MAX_HZ)
+        coverages = (self.first_phonetic_coverage,
+                     self.second_phonetic_coverage)
         return {
             "available": True,
             "global_confidence": self.global_confidence,
             "voice_band_shape_rms_db": self.voice_band_shape_rms_db,
-            "first_phonetic_coverage": self.first_phonetic_coverage,
-            "second_phonetic_coverage": self.second_phonetic_coverage,
-            "minimum_phonetic_coverage": min(
-                self.first_phonetic_coverage, self.second_phonetic_coverage
-            ),
+            "first_phonetic_coverage": coverages[0],
+            "second_phonetic_coverage": coverages[1],
+            "minimum_phonetic_coverage": min(coverages),
             "median_precision_uncertainty_db": float(
                 np.median(self.combined_precision_uncertainty_db[voice])
             ),
         }
 
 
-def _level_normalized_shape(frequencies_hz, spectrum_db) -> np.ndarray:
-    """Remove overall level using the 100 Hz - 8 kHz median
-    (`cross_take.py:59-69`)."""
-    reference = (
-        (frequencies_hz >= LEVEL_REFERENCE_MIN_HZ)
-        & (frequencies_hz <= LEVEL_REFERENCE_MAX_HZ)
-    )
-    if np.count_nonzero(reference) < 8:
-        raise ValueError("cross-take spectrum has insufficient voice-band bins")
-    return spectrum_db - float(np.median(spectrum_db[reference]))
+class _Take:
+    """One take's spectrum, validated and paired with its uncertainty.
 
+    Uncertainty is optional; absent or non-finite bins count as unknown
+    (infinite), which drives the precision confidence to zero there.
+    """
 
-def _validated_uncertainty(values, expected_shape) -> np.ndarray:
-    if values is None:
-        return np.full(expected_shape, np.inf, dtype=float)
-    uncertainty = np.asarray(values, dtype=float)
-    if uncertainty.shape != expected_shape:
-        raise ValueError(
-            "cross-take uncertainty shape does not match its spectrum"
+    __slots__ = ("freqs", "level_db", "uncertainty_db")
+
+    def __init__(self, freqs, level_db, uncertainty_db):
+        self.freqs = np.asarray(freqs, dtype=float)
+        self.level_db = np.asarray(level_db, dtype=float)
+        ok = (
+            self.freqs.ndim == 1
+            and self.freqs.size >= _MIN_BINS
+            and self.level_db.shape == self.freqs.shape
+            and bool(np.isfinite(self.freqs).all())
+            and bool(np.isfinite(self.level_db).all())
+            and bool((np.diff(self.freqs) > 0.0).all())
         )
-    return np.where(
-        np.isfinite(uncertainty), np.clip(uncertainty, 0.0, 40.0), np.inf
-    )
+        if not ok:
+            raise ValueError(
+                "cross-take spectra must be finite increasing 1-D arrays"
+            )
+        if uncertainty_db is None:
+            self.uncertainty_db = np.full(self.freqs.shape, np.inf)
+        else:
+            u = np.asarray(uncertainty_db, dtype=float)
+            if u.shape != self.freqs.shape:
+                raise ValueError(
+                    "cross-take uncertainty shape does not match its spectrum"
+                )
+            self.uncertainty_db = np.where(
+                np.isfinite(u), u.clip(0.0, _UNCERTAINTY_CAP_DB), np.inf
+            )
+
+    def shape_db(self, on_freqs: np.ndarray) -> np.ndarray:
+        """Level-normalised shape resampled onto ``on_freqs``."""
+        level = _flat_interp(on_freqs, self.freqs, self.level_db)
+        anchor = _band_mask(
+            on_freqs, LEVEL_REFERENCE_MIN_HZ, LEVEL_REFERENCE_MAX_HZ
+        )
+        if int(anchor.sum()) < _MIN_BAND_BINS:
+            raise ValueError(
+                "cross-take spectrum has insufficient voice-band bins"
+            )
+        return level - float(np.median(level[anchor]))
+
+    def uncertainty_on(self, on_freqs: np.ndarray) -> np.ndarray:
+        return _flat_interp(on_freqs, self.freqs, self.uncertainty_db)
+
+
+def _flat_interp(x, xp, fp) -> np.ndarray:
+    """Linear interpolation holding the edge values outside ``xp``."""
+    if x is xp:
+        return fp
+    return np.interp(x, xp, fp, left=float(fp[0]), right=float(fp[-1]))
 
 
 def cross_take_evidence(
@@ -97,79 +138,41 @@ def cross_take_evidence(
     second_uncertainty_db,
     second_phonetic_coverage,
 ) -> CrossTakeEvidence:
-    """Frequency-dependent agreement between two takes
-    (`cross_take.py:89-186`)."""
-    frequencies = np.asarray(first_frequencies_hz, dtype=float)
-    first = np.asarray(first_spectrum_db, dtype=float)
-    second_frequencies = np.asarray(second_frequencies_hz, dtype=float)
-    second = np.asarray(second_spectrum_db, dtype=float)
-    valid = (
-        frequencies.ndim == 1
-        and first.shape == frequencies.shape
-        and second_frequencies.ndim == 1
-        and second.shape == second_frequencies.shape
-        and frequencies.size >= 16
-        and second_frequencies.size >= 16
-        and np.all(np.isfinite(frequencies))
-        and np.all(np.isfinite(first))
-        and np.all(np.isfinite(second_frequencies))
-        and np.all(np.isfinite(second))
-        and np.all(np.diff(frequencies) > 0.0)
-        and np.all(np.diff(second_frequencies) > 0.0)
-    )
-    if not valid:
-        raise ValueError(
-            "cross-take spectra must be finite increasing 1-D arrays"
-        )
+    """Frequency-dependent agreement between two takes — agreement is kept
+    separate from phonetic coverage, which passes through untouched
+    (`cross_take.py:87-97`)."""
+    one = _Take(first_frequencies_hz, first_spectrum_db, first_uncertainty_db)
+    two = _Take(second_frequencies_hz, second_spectrum_db,
+                second_uncertainty_db)
+    grid = one.freqs
 
-    second_aligned = np.interp(
-        frequencies, second_frequencies, second,
-        left=float(second[0]), right=float(second[-1]),
-    )
-    first_uncertainty = _validated_uncertainty(first_uncertainty_db, first.shape)
-    second_uncertainty_raw = _validated_uncertainty(
-        second_uncertainty_db, second.shape
-    )
-    second_uncertainty = np.interp(
-        frequencies, second_frequencies, second_uncertainty_raw,
-        left=float(second_uncertainty_raw[0]),
-        right=float(second_uncertainty_raw[-1]),
-    )
+    delta = two.shape_db(grid) - one.shape_db(grid)
+    combined_u = np.hypot(one.uncertainty_on(grid), two.uncertainty_on(grid))
+    u = np.where(np.isfinite(combined_u), combined_u, _UNCERTAINTY_CAP_DB)
 
-    delta = (
-        _level_normalized_shape(frequencies, second_aligned)
-        - _level_normalized_shape(frequencies, first)
-    )
-    combined_uncertainty = np.sqrt(
-        np.square(first_uncertainty) + np.square(second_uncertainty)
-    )
-    finite_uncertainty = np.where(
-        np.isfinite(combined_uncertainty), combined_uncertainty, 40.0
-    )
-    precision_confidence = 1.0 / (
-        1.0 + np.square(finite_uncertainty / PRECISION_SCALE_DB)
-    )
-    mismatch_beyond_precision = np.maximum(
-        0.0, np.abs(delta) - finite_uncertainty
-    )
-    agreement_confidence = np.exp(
-        -0.5 * np.square(mismatch_beyond_precision / MISMATCH_SCALE_DB)
-    )
-    confidence = np.sqrt(precision_confidence * agreement_confidence)
+    precision = 1.0 / (1.0 + (u / PRECISION_SCALE_DB) ** 2)
+    excess_mismatch = (np.abs(delta) - u).clip(min=0.0)
+    agreement = np.exp(-0.5 * (excess_mismatch / MISMATCH_SCALE_DB) ** 2)
+    per_bin = np.sqrt(precision * agreement)
 
-    voice = (frequencies >= VOICE_MIN_HZ) & (frequencies <= VOICE_MAX_HZ)
-    if np.count_nonzero(voice) < 8:
+    voice = _band_mask(grid, VOICE_MIN_HZ, VOICE_MAX_HZ)
+    if int(voice.sum()) < _MIN_BAND_BINS:
         raise ValueError("cross-take spectra do not cover the voice band")
+
     return CrossTakeEvidence(
-        frequencies_hz=frequencies,
+        frequencies_hz=grid,
         shape_delta_db=delta,
-        combined_precision_uncertainty_db=combined_uncertainty,
-        precision_confidence=np.clip(precision_confidence, 0.0, 1.0),
-        agreement_confidence=np.clip(agreement_confidence, 0.0, 1.0),
-        confidence=np.clip(confidence, 0.0, 1.0),
-        global_confidence=float(np.median(confidence[voice])),
-        voice_band_shape_rms_db=float(np.sqrt(np.mean(np.square(delta[voice])))),
-        first_phonetic_coverage=float(np.clip(first_phonetic_coverage, 0.0, 1.0)),
+        combined_precision_uncertainty_db=combined_u,
+        precision_confidence=precision.clip(0.0, 1.0),
+        agreement_confidence=agreement.clip(0.0, 1.0),
+        confidence=per_bin.clip(0.0, 1.0),
+        global_confidence=float(np.median(per_bin[voice])),
+        voice_band_shape_rms_db=float(
+            np.sqrt(np.mean(delta[voice] ** 2))
+        ),
+        first_phonetic_coverage=float(
+            np.clip(first_phonetic_coverage, 0.0, 1.0)
+        ),
         second_phonetic_coverage=float(
             np.clip(second_phonetic_coverage, 0.0, 1.0)
         ),

@@ -159,9 +159,11 @@ def _validate_loaded(params, reference):
 
 def load_weights(path):
     """Load converted DeepFilterNet3 weights, validated against the
-    framework graph's key/shape contract."""
+    framework graph's key/shape contract. Keys starting with ``__`` are
+    provenance metadata, not weights."""
     data = np.load(path)
-    params = {k: jnp.asarray(data[k], jnp.float32) for k in data.files}
+    params = {k: jnp.asarray(data[k], jnp.float32) for k in data.files
+              if not k.startswith("__")}
     return _validate_loaded(params, init_params())
 
 
@@ -282,7 +284,7 @@ def processor_init(params=None, strength: float = 1.0, low_latency: bool = True,
                    post_filter_beta: float = DEFAULT_POST_FILTER_BETA):
     atten, beta = validate_runtime_config(atten_lim_db, post_filter_beta)
     if params is None:
-        params = init_params()
+        params = default_params()
     return {
         "params": params,
         "model": dfn_state_init(),
@@ -434,4 +436,36 @@ def resolve_weight_path():
         candidate = Path(env)
         if candidate.is_file():
             return candidate.resolve()
+    # the repo/bundle's own models dir is app-owned (the analogue of the
+    # bootstrap-registered bundled assets, `app_bootstrap.py`)
+    bundled = Path(__file__).resolve().parents[2] / "models" / "dfn3.npz"
+    if bundled.is_file():
+        return bundled
     return None
+
+
+_DEFAULT_PARAMS_CACHE: dict = {}
+
+
+def default_params():
+    """Resolve the default weight set once per process: a trusted archive
+    (:func:`resolve_weight_path`) wins; otherwise the seeded structural
+    weights. :func:`weights_source` reports which."""
+    if "params" not in _DEFAULT_PARAMS_CACHE:
+        path = resolve_weight_path()
+        if path is not None:
+            _DEFAULT_PARAMS_CACHE["params"] = load_weights(path)
+            data = np.load(path)
+            _DEFAULT_PARAMS_CACHE["source"] = (
+                str(np.asarray(data["__provenance__"]).item())
+                if "__provenance__" in data.files else "converted")
+        else:
+            _DEFAULT_PARAMS_CACHE["params"] = init_params()
+            _DEFAULT_PARAMS_CACHE["source"] = "seeded"
+    return _DEFAULT_PARAMS_CACHE["params"]
+
+
+def weights_source() -> str:
+    """``"converted"``, ``"trained"``, or ``"seeded"`` (structural)."""
+    default_params()
+    return _DEFAULT_PARAMS_CACHE["source"]

@@ -66,6 +66,9 @@ __all__ = [
     "PITCH_BUF_SIZE",
     "init_params",
     "load_weights",
+    "default_params",
+    "weights_source",
+    "discover_model_path",
     "rnnoise_state_init",
     "rnnoise_frame",
     "rnnoise_frames",
@@ -237,11 +240,67 @@ def _validate_loaded(params, reference):
 
 
 def load_weights(path):
-    """Load a converted numpy archive of the published RNNoise weights,
-    validated against the framework graph's key/shape contract."""
+    """Load a weight archive (converted published RNNoise weights, or
+    framework-trained weights from ``tools/train_rnnoise_weights.py``),
+    validated against the framework graph's key/shape contract. Keys
+    starting with ``__`` are provenance metadata, not weights."""
     data = np.load(path)
-    params = {k: jnp.asarray(data[k], jnp.float32) for k in data.files}
+    params = {k: jnp.asarray(data[k], jnp.float32) for k in data.files
+              if not k.startswith("__")}
     return _validate_loaded(params, init_params())
+
+
+def archive_provenance(path) -> str:
+    """The ``__provenance__`` metadata string of an archive (``"trained"``
+    for in-repo synthetic-corpus training runs), else ``"converted"``."""
+    data = np.load(path)
+    if "__provenance__" in data.files:
+        return str(np.asarray(data["__provenance__"]).item())
+    return "converted"
+
+
+def discover_model_path():
+    """Weight-archive discovery mirroring the reference's model lookup
+    pattern (`vad.rs:133-184` shape, applied to the suppressor):
+    ``RNNOISE_MODEL_PATH`` env first, then ``models/rnnoise.npz`` next to
+    the package root. Returns None when nothing is found."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("RNNOISE_MODEL_PATH")
+    if env and Path(env).is_file():
+        return Path(env)
+    candidate = (
+        Path(__file__).resolve().parents[2] / "models" / "rnnoise.npz"
+    )
+    return candidate if candidate.is_file() else None
+
+
+_DEFAULT_PARAMS_CACHE: dict = {}
+
+
+def default_params():
+    """Resolve the default weight set once per process: a discovered
+    archive (:func:`discover_model_path`) wins; otherwise the seeded
+    structural weights. :func:`weights_source` reports which — callers
+    that gate on denoising quality must check it."""
+    if "params" not in _DEFAULT_PARAMS_CACHE:
+        path = discover_model_path()
+        if path is not None:
+            _DEFAULT_PARAMS_CACHE["params"] = load_weights(path)
+            _DEFAULT_PARAMS_CACHE["source"] = archive_provenance(path)
+        else:
+            _DEFAULT_PARAMS_CACHE["params"] = init_params()
+            _DEFAULT_PARAMS_CACHE["source"] = "seeded"
+    return _DEFAULT_PARAMS_CACHE["params"]
+
+
+def weights_source() -> str:
+    """``"converted"`` (published archive), ``"trained"`` (in-repo
+    synthetic-corpus training), or ``"seeded"`` (structural weights —
+    shape/state/latency faithful but not noise-discriminative)."""
+    default_params()
+    return _DEFAULT_PARAMS_CACHE["source"]
 
 
 # ---------------------------------------------------------------------------
@@ -859,7 +918,7 @@ def _soft_clip(x):
 
 def processor_init(params=None, strength: float = 1.0, sample_rate: float = 48000.0):
     if params is None:
-        params = init_params()
+        params = default_params()
     frame_dt = FRAME_SIZE / sample_rate
     smoothing_coeff = 1.0 - np.exp(-(frame_dt / 0.015))  # 15 ms EMA
     return {

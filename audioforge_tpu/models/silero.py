@@ -182,7 +182,8 @@ def load_weights(path):
     the official ONNX release by ``tools/convert_model_weights.py``),
     validated against the framework graph's key/shape contract."""
     data = np.load(path)
-    params = {k: jnp.asarray(data[k], jnp.float32) for k in data.files}
+    params = {k: jnp.asarray(data[k], jnp.float32) for k in data.files
+              if not k.startswith("__")}
     return _validate_loaded(params, init_params())
 
 
@@ -215,7 +216,10 @@ def default_params():
         path = discover_model_path()
         if path is not None:
             _DEFAULT_PARAMS_CACHE["params"] = load_weights(path)
-            _DEFAULT_PARAMS_CACHE["source"] = "converted"
+            data = np.load(path)
+            _DEFAULT_PARAMS_CACHE["source"] = (
+                str(np.asarray(data["__provenance__"]).item())
+                if "__provenance__" in data.files else "converted")
         else:
             _DEFAULT_PARAMS_CACHE["params"] = init_params()
             _DEFAULT_PARAMS_CACHE["source"] = "seeded"

@@ -151,8 +151,12 @@ def engine_set_strength(engine, value: float):
 
 
 def engine_diagnostics(engine):
-    """`noise_suppressor.rs:216-261`."""
+    """`noise_suppressor.rs:216-261`; ``weights_source`` additionally
+    reports the weight provenance (converted / trained / seeded) so
+    quality gates can tell real denoising from structural weights."""
     failed = bool(engine["proc"].get("backend_failed", False))
+    source = (rnnoise.weights_source() if engine["model"] == "rnnoise"
+              else dfn3.weights_source())
     return {
         "model": engine["model"],
         "backend_available": engine["backend_available"],
@@ -161,4 +165,5 @@ def engine_diagnostics(engine):
         "latency_samples": engine["latency_samples"],
         "latency_ms": model_latency_ms(engine["model"]),
         "pending_samples": int(len(engine["proc"].get("in_buf", []))),
+        "weights_source": source,
     }

@@ -434,9 +434,9 @@ class ServingEngine:
         self._weights = {}
         if self.config.suppressor_model is not None:
             if self.config.suppressor_model == "rnnoise":
-                weights = rnnoise_weights or rnnoise.init_params()
+                weights = rnnoise_weights or rnnoise.default_params()
             else:
-                weights = dfn_weights or dfn3.init_params()
+                weights = dfn_weights or dfn3.default_params()
             self._weights["supp"] = jax.tree_util.tree_map(
                 jnp.asarray, weights
             )
@@ -451,7 +451,7 @@ class ServingEngine:
             }
         if self.config.vad_enabled:
             self._weights["vad"] = jax.tree_util.tree_map(
-                jnp.asarray, vad_weights or silero.init_params()
+                jnp.asarray, vad_weights or silero.default_params()
             )
             self._params["vad"] = {
                 "pre_gain": np.float32(1.0),
