@@ -213,11 +213,15 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
     )
     bin_gains = erb_gains @ _ERB_SPREAD.T  # [..., 481]
 
-    # deep filtering on the low bins: order-5 complex FIR over frame history
+    # deep filtering on the low bins: order-5 complex FIR over frame history.
+    # Coefficients are applied linearly (libDF semantics) — an activation
+    # clamp like tanh/order would cap the current-frame tap below 1.0,
+    # making identity unreachable and guaranteeing distortion on clean
+    # high-SNR audio. The FIR has no feedback, so unbounded taps are stable;
+    # the attenuation-limit mix below still bounds total deviation.
     df_c = (
         h_new @ params["df_dec_w"] + params["df_dec_b"]
     ).reshape(*h_new.shape[:-1], DF_ORDER, DF_BINS, 2)
-    df_c = jnp.tanh(df_c) / DF_ORDER
     hist = jnp.concatenate(
         [state["spec_hist"][..., 1:, :, :], low_ri[..., None, :, :]], axis=-3
     )

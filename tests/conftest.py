@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Children spawned by tests (tool subprocesses) must never touch the
+# tunnelled TPU either — a dead/busy tunnel blocks backend init forever.
+# Plain JAX_PLATFORMS is unreliable (the preloaded axon module rewrites it
+# at interpreter start); the package honours AUDIOFORGE_PLATFORM through
+# jax.config before any backend initialises, so export that for children.
+os.environ.setdefault("AUDIOFORGE_PLATFORM", "cpu")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -298,7 +298,7 @@ class TestConvertedWeightParity:
     def test_silero_weights_source_reports(self):
         from audioforge_tpu.models.silero import weights_source
 
-        assert weights_source() in {"seeded", "converted"}
+        assert weights_source() in {"seeded", "converted", "trained"}
 
 
 class TestSuppressorModelSelection:

@@ -45,6 +45,7 @@ GATES = {
     "silero_min_speech_noise_auc": 0.85,
     "rnnoise_min_si_sdr_improvement_db": 0.5,
     "dfn3_max_passthrough_deviation_db": 0.5,
+    "dfn3_min_si_sdr_improvement_db": 0.5,
 }
 
 
@@ -75,9 +76,12 @@ def _silero_parity():
         return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
 
     speech_scores, noise_scores = [], []
-    entries = manifest.get("entries") or manifest.get("files") or []
+    entries = manifest.get("captures") or []
+    # bind the gate on the held-out split first (unseen speakers), padded
+    # with the rest for window volume
+    entries = sorted(entries, key=lambda e: e.get("split") != "held_out")
     for entry in entries[:12]:
-        audio = read(entry["path"])
+        audio = read(entry["file"])
         probs = np.asarray(
             analyze_vad_probabilities(audio, 48_000, 0.48), float)
         intervals = entry.get("speech_intervals_samples") or []
@@ -196,6 +200,55 @@ def _rnnoise_parity():
     }
 
 
+def _dfn3_enhancement():
+    """Binding discrimination gate once a real archive is present: SI-SDR
+    improvement on the pinned fullband corpus through the full staging
+    processor at the production runtime config (30 dB attenuation, LL)."""
+    import json
+    import wave
+
+    from audioforge_tpu.models import dfn3
+
+    corpus = REPO_ROOT / "models" / "deepfilter_fullband_eval"
+    manifest = json.loads((corpus / "manifest.json").read_text())
+
+    def read(path):
+        with wave.open(str(corpus / path), "rb") as h:
+            raw = h.readframes(h.getnframes())
+        return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+
+    def si_sdr(reference, estimate):
+        alpha = float(np.dot(estimate, reference)
+                      / max(np.dot(reference, reference), 1e-12))
+        target = alpha * reference
+        noise = estimate - target
+        return 10.0 * np.log10(
+            max(np.dot(target, target), 1e-12)
+            / max(np.dot(noise, noise), 1e-12))
+
+    improvements = []
+    for pair in manifest["pairs"][:6]:
+        clean = read(pair["clean"])
+        noisy = read(pair["noisy"])
+        n = min(clean.size, noisy.size)
+        state = dfn3.processor_init()
+        state, _ = dfn3.processor_push(state, noisy[:n])
+        state, _ = dfn3.processor_process(state)
+        state, out = dfn3.processor_pop(state, n)
+        lat = dfn3.latency_samples(True)
+        aligned = np.asarray(out)[lat:]
+        m = min(aligned.size, n - lat)
+        improvements.append(float(si_sdr(clean[:m], aligned[:m])
+                                  - si_sdr(clean[:m], noisy[:m])))
+    med = float(np.median(improvements))
+    return {
+        "available": True,
+        "pairs": len(improvements),
+        "median_si_sdr_improvement_db": med,
+        "passed": bool(med >= GATES["dfn3_min_si_sdr_improvement_db"]),
+    }
+
+
 def _dfn3_parity():
     from audioforge_tpu.models import dfn3
 
@@ -240,8 +293,13 @@ def evaluate():
                                else "seeded"),
         }
         models[name] = entry
-    # the silero runtime exposes its resolved source directly
+    # every model runtime exposes its resolved source directly
+    from audioforge_tpu.models import dfn3 as _dfn3
+    from audioforge_tpu.models import rnnoise as _rnnoise
+
     models["silero"]["runtime_weights_source"] = weights_source()
+    models["rnnoise"]["runtime_weights_source"] = _rnnoise.weights_source()
+    models["dfn3"]["runtime_weights_source"] = _dfn3.weights_source()
 
     # behavioural contracts always run (they hold for seeded weights too,
     # except the discrimination gates which only bind with converted ones)
@@ -252,11 +310,13 @@ def evaluate():
                                           passed=conv.get("convertible",
                                                           False))
     binding = {name: models[name]["archive_present"]
-               for name in ("silero", "rnnoise")}
+               for name in ("silero", "rnnoise", "dfn3")}
     if binding["silero"]:
         contracts["silero"] = _silero_parity()
     if binding["rnnoise"]:
         contracts["rnnoise"] = _rnnoise_parity()
+    if binding["dfn3"]:
+        contracts["dfn3_enhancement"] = _dfn3_enhancement()
 
     pending = sorted(n for n, e in models.items()
                      if not e["archive_present"])

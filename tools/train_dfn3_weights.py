@@ -1,0 +1,286 @@
+"""Train DeepFilterNet3-graph weights in-repo on a fully synthetic corpus.
+
+This environment has no network egress, so the published DeepFilterNet3
+release archive (`release-assets.json` pin; consumed through the C API in
+`rust-core/src/dsp/deepfilter_ffi.rs`) cannot be fetched. Instead the EXACT
+framework graph (`audioforge_tpu/models/dfn3.py` — ERB gain decoder +
+order-5 deep filtering, the binding structure for converted archives) is
+trained from scratch on a synthetic speech+noise corpus from the same
+generator family as the fullband evaluation corpus (different seeds, wider
+parameter ranges). The result is a real enhancer for the synthetic-speech
+domain, saved to ``models/dfn3.npz`` with ``__provenance__ = "trained"`` —
+converted official archives drop in through the identical ``load_weights``
+/ ``resolve_weight_path`` path and simply replace it.
+
+Training runs the production ``dfn_frames`` scan (vorbis-windowed 960-pt
+STFT, ERB features, GRU, deep-filtering FIR, overlap-add synthesis) with
+the attenuation limit opened to its 100 dB maximum so the network — not the
+runtime safety mix — learns the suppression; the runtime default of 30 dB
+(`deepfilter-hardening-report.json`) then bounds it exactly as the
+reference bounds the official model. Loss is DeepFilterNet's recipe shape:
+compressed spectral magnitude (γ=0.6) L2 on the enhanced-vs-clean spectra
+plus a time-domain term, with the model's 1-frame latency aligned out.
+
+Run: ``python tools/train_dfn3_weights.py [--steps N] [--seqs M]``.
+Writes the archive plus ``evaluation/dfn3-training-report.json`` with
+held-out SI-SDR evidence through the full staging processor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+sys.path.insert(0, str(REPO_ROOT / "tools"))
+
+from _evaluation_common import utc_now, write_report  # noqa: E402
+from build_vad_evaluation_corpus import _noise, _speech  # noqa: E402
+
+SAMPLE_RATE = 48000
+FRAME = 480
+SEED = 0xDF3A
+NOISE_CATEGORIES = ("white", "pink", "hum", "keyboard", "engine", "babble")
+F0_RANGE = (85.0, 265.0)
+TILT_RANGE = (0.55, 1.5)
+RATE_RANGE = (1.6, 4.2)
+SNR_GRID_DB = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
+SPEECH_RMS_RANGE_DBFS = (-32.0, -14.0)
+TRAIN_ATTEN_LIM_DB = 100.0  # graph maximum: the net learns the suppression
+MAG_GAMMA = 0.6  # DeepFilterNet compressed-magnitude exponent
+WAVE_WEIGHT = 0.5
+
+
+def _sequence(rng, seconds: float, kind: str):
+    """One 48 kHz sequence: (clean, noisy)."""
+    n = int(seconds * SAMPLE_RATE)
+    clean = np.zeros(n, np.float32)
+    if kind != "noise":
+        profile = (
+            rng.uniform(*F0_RANGE),
+            rng.uniform(*TILT_RANGE),
+            rng.uniform(*RATE_RANGE),
+        )
+        speech, _ = _speech(profile, rng, seconds)
+        speech = speech[:n]
+        level = 10.0 ** (rng.uniform(*SPEECH_RMS_RANGE_DBFS) / 20.0)
+        rms = float(np.sqrt(np.mean(np.square(speech)))) or 1.0
+        clean[: speech.size] = speech * (level / rms)
+    noisy = clean.copy()
+    if kind != "clean":
+        category = NOISE_CATEGORIES[rng.integers(len(NOISE_CATEGORIES))]
+        noise = _noise(category, rng, n)
+        if kind == "mix" and clean.any():
+            snr_db = float(SNR_GRID_DB[rng.integers(len(SNR_GRID_DB))])
+            speech_rms = float(np.sqrt(np.mean(np.square(clean)))) or 1e-4
+            gain = speech_rms / (10.0 ** (snr_db / 20.0))
+        else:
+            gain = 10.0 ** (rng.uniform(-34.0, -18.0) / 20.0)
+        noisy = noisy + gain * noise
+    return clean, noisy
+
+
+def build_corpus(n_seqs: int, seconds: float, seed: int):
+    rng = np.random.default_rng(seed)
+    kinds = ["mix", "mix", "mix", "mix", "noise", "clean"]
+    n_frames = int(seconds * SAMPLE_RATE) // FRAME
+    usable = n_frames * FRAME
+    clean = np.zeros((n_seqs, n_frames, FRAME), np.float32)
+    noisy = np.zeros((n_seqs, n_frames, FRAME), np.float32)
+    for s in range(n_seqs):
+        c, x = _sequence(rng, seconds, kinds[s % len(kinds)])
+        clean[s] = c[:usable].reshape(n_frames, FRAME)
+        noisy[s] = x[:usable].reshape(n_frames, FRAME)
+    return clean, noisy
+
+
+def train(clean, noisy, steps, batch, lr, seed):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audioforge_tpu.models import dfn3
+
+    params = dfn3.init_params(seed & 0xFFFF)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    opt_state = opt.init(params)
+
+    def seq_loss(params, noisy_frames, clean_frames):
+        st = dfn3.dfn_state_init()
+        _, ys = dfn3.dfn_frames(params, st, noisy_frames,
+                                atten_lim_db=TRAIN_ATTEN_LIM_DB)
+        # 1-frame latency: output frame t reconstructs input frame t-1
+        est = ys[1:]
+        ref = clean_frames[:-1]
+        # compressed spectral magnitude L2 (DeepFilterNet loss shape) on the
+        # same vorbis-windowed analysis the model itself uses
+        from audioforge_tpu.ops.dft import rdft_auto
+
+        def spec(frames):
+            pairs = jnp.concatenate(
+                [frames[:-1], frames[1:]], axis=-1) * dfn3._WINDOW
+            X = rdft_auto(pairs, dfn3.WINDOW_SIZE)
+            # eps inside the sqrt keeps |X| and |X|**gamma differentiable
+            # at silence (grad of a bare magnitude explodes at 0)
+            mag = jnp.sqrt(jnp.real(X) ** 2 + jnp.imag(X) ** 2 + 1e-9)
+            # compressed complex spectrum |X|^gamma * e^{j phase}: the
+            # phase-aware half of the DeepFilterNet loss — a magnitude-only
+            # loss lets the deep-filtering FIR rotate phase freely, which
+            # wrecks waveform SI-SDR while spectrograms still match
+            comp = X * (mag ** (MAG_GAMMA - 1.0))
+            return comp, mag ** MAG_GAMMA
+
+        c_est, m_est = spec(est)
+        c_ref, m_ref = spec(ref)
+        mag_l = jnp.mean(jnp.square(m_est - m_ref))
+        cplx_l = jnp.mean(jnp.square(jnp.abs(c_est - c_ref)))
+        wave_l = jnp.mean(jnp.square(est - ref))
+        return mag_l + cplx_l + WAVE_WEIGHT * wave_l
+
+    def loss_fn(params, b_noisy, b_clean):
+        return jnp.mean(
+            jax.vmap(seq_loss, in_axes=(None, 0, 0))(params, b_noisy, b_clean)
+        )
+
+    @jax.jit
+    def step(params, opt_state, b_noisy, b_clean):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b_noisy, b_clean)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    import jax.numpy as jnp  # noqa: F811
+
+    dev = jax.devices()[0]
+    d_clean = jax.device_put(jnp.asarray(clean), dev)
+    d_noisy = jax.device_put(jnp.asarray(noisy), dev)
+    n = clean.shape[0]
+    rng = np.random.default_rng(seed)
+    history = []
+    t0 = time.time()
+    for i in range(steps):
+        idx = jnp.asarray(rng.choice(n, size=min(batch, n), replace=False))
+        params, opt_state, loss = step(
+            params, opt_state, d_noisy[idx], d_clean[idx])
+        if i % 25 == 0 or i == steps - 1:
+            history.append({"step": i, "loss": float(loss)})
+            print(f"step {i:5d} loss {float(loss):.6f} "
+                  f"{time.time() - t0:.0f}s", flush=True)
+    return params, history
+
+
+def _si_sdr(reference, estimate):
+    alpha = float(np.dot(estimate, reference)
+                  / max(np.dot(reference, reference), 1e-12))
+    target = alpha * reference
+    err = estimate - target
+    return 10.0 * np.log10(max(np.dot(target, target), 1e-12)
+                           / max(np.dot(err, err), 1e-12))
+
+
+def heldout_si_sdr(params, n_pairs: int, seed: int):
+    """Held-out SI-SDR improvement through the FULL staging processor at
+    the production runtime config (30 dB attenuation limit, LL mode)."""
+    from audioforge_tpu.models import dfn3
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n_pairs):
+        clean, noisy = _sequence(rng, 3.0, "mix")
+        n = min(clean.size, noisy.size)
+        state = dfn3.processor_init(params)
+        state, _ = dfn3.processor_push(state, noisy[:n])
+        state, _ = dfn3.processor_process(state)
+        state, out = dfn3.processor_pop(state, n)
+        lat = dfn3.latency_samples(True)
+        aligned = np.asarray(out)[lat:]
+        m = min(aligned.size, n - lat)
+        rows.append(float(_si_sdr(clean[:m], aligned[:m])
+                          - _si_sdr(clean[:m], noisy[:m])))
+    return rows
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seqs", type=int, default=72)
+    parser.add_argument("--seconds", type=float, default=2.0)
+    parser.add_argument("--steps", type=int, default=900)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=SEED)
+    parser.add_argument("--output", type=Path,
+                        default=REPO_ROOT / "models" / "dfn3.npz")
+    parser.add_argument("--heldout-pairs", type=int, default=10)
+    args = parser.parse_args()
+
+    t0 = time.time()
+    print("building corpus...", flush=True)
+    clean, noisy = build_corpus(args.seqs, args.seconds, args.seed)
+    print(f"corpus {noisy.shape} in {time.time() - t0:.0f}s; training...",
+          flush=True)
+
+    params, history = train(
+        clean, noisy, args.steps, args.batch, args.lr, args.seed)
+
+    improvements = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1)
+    med = float(np.median(improvements))
+    print(f"held-out SI-SDR improvement: median {med:.2f} dB "
+          f"(min {min(improvements):.2f}, max {max(improvements):.2f})",
+          flush=True)
+
+    args.output.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        args.output,
+        **{k: np.asarray(v, np.float32) for k, v in params.items()},
+        __provenance__=np.asarray("trained"),
+    )
+    print(f"wrote {args.output}", flush=True)
+
+    report = {
+        "schema_version": 1,
+        "generated_at_utc": utc_now(),
+        "report": "dfn3-training",
+        "method": (
+            "exact framework graph (ERB decoder + order-5 deep filtering) "
+            "trained from scratch on a seeded synthetic speech+noise "
+            "corpus; compressed-magnitude spectral loss (gamma 0.6) + "
+            "waveform term; attenuation limit opened to 100 dB during "
+            "training, runtime default 30 dB unchanged; no third-party "
+            "weights involved"
+        ),
+        "provenance": "trained",
+        "corpus": {
+            "sequences": args.seqs,
+            "seconds_each": args.seconds,
+            "snr_grid_db": list(SNR_GRID_DB),
+            "noise_categories": list(NOISE_CATEGORIES),
+            "seed": args.seed,
+        },
+        "training": {
+            "steps": args.steps,
+            "batch": args.batch,
+            "lr": args.lr,
+            "train_atten_lim_db": TRAIN_ATTEN_LIM_DB,
+            "loss_history": history[-8:],
+            "wall_seconds": round(time.time() - t0, 1),
+        },
+        "heldout": {
+            "pairs": args.heldout_pairs,
+            "runtime_atten_lim_db": 30.0,
+            "si_sdr_improvements_db": [round(v, 3) for v in improvements],
+            "median_improvement_db": round(med, 3),
+        },
+        "archive": (str(args.output.relative_to(REPO_ROOT))
+                    if args.output.is_relative_to(REPO_ROOT)
+                    else str(args.output)),
+    }
+    write_report("dfn3-training-report.json", report)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,429 @@
+"""Train RNNoise weights in-repo on a fully synthetic CC0 corpus.
+
+This environment has no network egress, so the published Xiph/nnnoiseless
+model weights (`rust-core/Cargo.toml:17`) cannot be fetched. Instead the
+EXACT framework graph (`audioforge_tpu/models/rnnoise.py` — the binding
+conversion contract for official archives) is trained from scratch on a
+synthetic speech+noise corpus drawn from the same generator family as the
+evaluation corpora (different seeds, wider parameter ranges). The result is
+a real denoiser for the synthetic-speech domain, saved to
+``models/rnnoise.npz`` with ``__provenance__ = "trained"`` — converted
+official archives drop in through the identical ``load_weights`` path and
+simply replace it.
+
+Targets follow the published RNNoise training recipe (denoise.c
+``dump_features`` / training/rnn_train.py):
+
+- per-band ideal gains ``g_b = sqrt((Es_b + 1e-3) / (Ex_b + 1e-3))``
+  clipped to [0, 1], where Es/Ex are clean/noisy eband5ms energies from the
+  SAME windowed analysis the runtime uses (HP biquad included);
+- bands with ``Es < 5e-2 and Ex < 5e-2`` are masked out of the loss;
+- silent frames (``E < 0.04``) freeze the recurrent state exactly like the
+  runtime's silence bypass and contribute no gain loss;
+- loss = masked mean of ``(sqrt(ĝ)-sqrt(g))² + 10·(sqrt(ĝ)-sqrt(g))⁴``
+  (the sqrt is the recipe's γ=0.5 perceptual exponent) + 0.5·BCE(VAD)
+  against the synthesizer's exact speech-activity labels.
+
+Run: ``python tools/train_rnnoise_weights.py [--steps N] [--seqs M]``
+(defaults sized for the 1-core dev host; pass ``--platform tpu`` via
+AUDIOFORGE_PLATFORM to train on the chip). Writes the archive plus
+``evaluation/rnnoise-training-report.json`` with held-out SI-SDR evidence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+sys.path.insert(0, str(REPO_ROOT / "tools"))
+
+from _evaluation_common import utc_now, write_report  # noqa: E402
+from build_vad_evaluation_corpus import _noise, _speech  # noqa: E402
+
+SAMPLE_RATE = 48000
+FRAME = 480
+SEED = 0x7EA1A
+NOISE_CATEGORIES = ("white", "pink", "hum", "keyboard", "engine", "babble")
+# wider than the eval corpora's speaker set so the trained model covers them
+F0_RANGE = (85.0, 265.0)
+TILT_RANGE = (0.55, 1.5)
+RATE_RANGE = (1.6, 4.2)
+SNR_GRID_DB = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
+SPEECH_RMS_RANGE_DBFS = (-34.0, -14.0)
+
+ES_EX_MASK_FLOOR = 5e-2  # denoise.c: both tiny -> band untrained
+GAIN_EPS = 1e-3
+VAD_LOSS_WEIGHT = 0.5
+QUARTIC_WEIGHT = 10.0
+
+
+# ---------------------------------------------------------------------------
+# Corpus
+# ---------------------------------------------------------------------------
+
+
+def _sequence(rng, seconds: float, kind: str):
+    """One training sequence at 48 kHz: returns (clean, noisy, active).
+
+    ``kind``: "mix" (speech+noise at a drawn SNR), "noise" (noise only),
+    "clean" (speech only). ``active`` is the per-sample speech label.
+    """
+    n = int(seconds * SAMPLE_RATE)
+    clean = np.zeros(n, np.float32)
+    active = np.zeros(n, bool)
+    if kind != "noise":
+        profile = (
+            rng.uniform(*F0_RANGE),
+            rng.uniform(*TILT_RANGE),
+            rng.uniform(*RATE_RANGE),
+        )
+        voice, intervals = _speech(profile, rng, seconds)
+        voice = voice[: n]
+        # _speech pins RMS at the corpus builder's target; re-level it
+        level = rng.uniform(*SPEECH_RMS_RANGE_DBFS)
+        voice = voice * 10.0 ** ((level - (-22.0)) / 20.0)
+        clean[: voice.size] = voice
+        for lo, hi in intervals:
+            active[lo:min(hi, n)] = True
+    noisy = clean.copy()
+    if kind != "clean":
+        cats = [rng.choice(NOISE_CATEGORIES)]
+        if rng.random() < 0.3:  # occasional two-source mixture
+            cats.append(rng.choice(NOISE_CATEGORIES))
+        noise = np.zeros(n, np.float32)
+        for c in cats:
+            noise += _noise(str(c), rng, n) / len(cats)
+        if kind == "mix":
+            speech_rms = np.sqrt(np.mean(clean[active] ** 2)) if active.any() \
+                else 10.0 ** (-22.0 / 20.0)
+            snr = float(rng.choice(SNR_GRID_DB))
+            noise_rms = speech_rms / (10.0 ** (snr / 20.0))
+        else:  # noise-only: realistic ambient levels
+            noise_rms = 10.0 ** (rng.uniform(-55.0, -25.0) / 20.0)
+        cur = np.sqrt(np.mean(noise ** 2)) or 1.0
+        noisy = clean + noise * (noise_rms / cur)
+    peak = np.max(np.abs(noisy)) or 1.0
+    if peak > 0.98:  # keep out of the soft-clip knee
+        clean = clean * (0.98 / peak)
+        noisy = noisy * (0.98 / peak)
+    return clean, noisy, active
+
+
+def build_corpus(n_seqs: int, seconds: float, seed: int):
+    """Stacked [N, T, 480] PCM-scaled frames + [N, T] VAD labels."""
+    rng = np.random.default_rng(seed)
+    frames = int(seconds * SAMPLE_RATE) // FRAME
+    n_samp = frames * FRAME
+    cleans, noisys, vads = [], [], []
+    kinds = ["mix"] * int(n_seqs * 0.7) + ["noise"] * int(n_seqs * 0.15)
+    kinds += ["clean"] * (n_seqs - len(kinds))
+    for kind in kinds:
+        c, x, a = _sequence(rng, seconds, kind)
+        cleans.append(c[:n_samp].reshape(frames, FRAME) * 32768.0)
+        noisys.append(x[:n_samp].reshape(frames, FRAME) * 32768.0)
+        vads.append(a[:n_samp].reshape(frames, FRAME).mean(-1) > 0.5)
+    return (
+        np.stack(cleans).astype(np.float32),
+        np.stack(noisys).astype(np.float32),
+        np.stack(vads),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature / target extraction (params-independent, computed once)
+# ---------------------------------------------------------------------------
+
+
+def extract_features(clean, noisy):
+    """Run the exact runtime feature extractor over [N, T, 480] PCM frames.
+
+    Returns (features [N,T,42], gains [N,T,22], band_mask [N,T,22],
+    silence [N,T]) with the runtime's silence-conditional cepstral-memory
+    freeze reproduced exactly (`models/rnnoise.py rnnoise_frame`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audioforge_tpu.models import rnnoise as rn
+
+    n = clean.shape[0]
+
+    def body(carry, xs):
+        st, cmem, camem = carry
+        xn, xc = xs
+        hp_mem, x = rn._hp_biquad(st["hp_mem"], xn)
+        feats, X, P, Ex, Ep, Exp, silence, upd = rn.frame_features(st, x)
+        cmem, xcf = rn._hp_biquad(cmem, xc)
+        cw = jnp.concatenate([camem, xcf], axis=-1) * rn._WINDOW
+        Es = rn._band_energy(rn._fwd(cw))
+
+        g = jnp.sqrt((Es + GAIN_EPS) / (Ex + GAIN_EPS))
+        g = jnp.clip(g, 0.0, 1.0)
+        band_mask = ~((Es < ES_EX_MASK_FLOOR) & (Ex < ES_EX_MASK_FLOOR))
+
+        sil = silence[:, None, None]
+        new_st = dict(
+            st,
+            analysis_mem=x,
+            hp_mem=hp_mem,
+            pitch_buf=upd["pitch_buf"],
+            last_period=upd["last_period"],
+            last_gain=upd["last_gain"],
+            cepstral_mem=jnp.where(
+                sil, st["cepstral_mem"], upd["cepstral_mem"]
+            ),
+        )
+        return (new_st, cmem, xcf), (feats, g, band_mask, silence)
+
+    @jax.jit
+    def run(clean, noisy):
+        st0 = (
+            rn.rnnoise_state_init((n,)),
+            jnp.zeros((n, 2), jnp.float32),
+            jnp.zeros((n, rn.FRAME_SIZE), jnp.float32),
+        )
+        xs = (jnp.moveaxis(noisy, 1, 0), jnp.moveaxis(clean, 1, 0))
+        _, (f, g, m, s) = jax.lax.scan(body, st0, xs)
+        return (jnp.moveaxis(f, 0, 1), jnp.moveaxis(g, 0, 1),
+                jnp.moveaxis(m, 0, 1), jnp.moveaxis(s, 0, 1))
+
+    f, g, m, s = run(jnp.asarray(clean), jnp.asarray(noisy))
+    return (np.asarray(f), np.asarray(g), np.asarray(m), np.asarray(s))
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+def make_loss():
+    import jax
+    import jax.numpy as jnp
+
+    from audioforge_tpu.models import rnnoise as rn
+
+    def rnn_scan(params, feats, silence):
+        """[B,T,42] -> (gain sigmoids [B,T,22], vad sigmoids [B,T]) with
+        the runtime's silence state-freeze."""
+        b = feats.shape[0]
+
+        def body(h, xs):
+            f, sil = xs
+            dense = jnp.tanh(f @ params["input_w"] + params["input_b"])
+            vad_h = rn._gru(params, "vad_gru", h[0], dense)
+            vad = jax.nn.sigmoid(
+                vad_h @ params["vad_out_w"] + params["vad_out_b"]
+            )[..., 0]
+            noise_in = jnp.concatenate([dense, vad_h, f], axis=-1)
+            noise_h = rn._gru(params, "noise_gru", h[1], noise_in)
+            den_in = jnp.concatenate([vad_h, noise_h, f], axis=-1)
+            den_h = rn._gru(params, "denoise_gru", h[2], den_in)
+            g = jax.nn.sigmoid(
+                den_h @ params["denoise_out_w"] + params["denoise_out_b"]
+            )
+            m = sil[:, None]
+            h_new = (
+                jnp.where(m, h[0], vad_h),
+                jnp.where(m, h[1], noise_h),
+                jnp.where(m, h[2], den_h),
+            )
+            return h_new, (g, vad)
+
+        h0 = tuple(
+            jnp.zeros((b, d), jnp.float32) for d in (24, 48, 96)
+        )
+        _, (g, vad) = jax.lax.scan(
+            body, h0,
+            (jnp.moveaxis(feats, 1, 0), jnp.moveaxis(silence, 1, 0)),
+        )
+        return jnp.moveaxis(g, 0, 1), jnp.moveaxis(vad, 0, 1)
+
+    def loss_fn(params, batch):
+        feats, g_t, b_mask, silence, vad_t = batch
+        g_p, vad_p = rnn_scan(params, feats, silence)
+        w = b_mask & ~silence[..., None]
+        d = jnp.sqrt(g_p) - jnp.sqrt(g_t)
+        per = d * d + QUARTIC_WEIGHT * d ** 4
+        gain_loss = jnp.sum(jnp.where(w, per, 0.0)) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
+        vw = ~silence
+        eps = 1e-7
+        bce = -(vad_t * jnp.log(vad_p + eps)
+                + (1.0 - vad_t) * jnp.log(1.0 - vad_p + eps))
+        vad_loss = jnp.sum(jnp.where(vw, bce, 0.0)) / jnp.maximum(
+            jnp.sum(vw), 1.0
+        )
+        return gain_loss + VAD_LOSS_WEIGHT * vad_loss, (gain_loss, vad_loss)
+
+    return rnn_scan, loss_fn
+
+
+def train(feats, gains, band_mask, silence, vad, steps, batch, lr, seed):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audioforge_tpu.models import rnnoise as rn
+
+    _, loss_fn = make_loss()
+    params = rn.init_params(seed=seed)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    n = feats.shape[0]
+    rng = np.random.default_rng(seed)
+    dev = jax.devices()[0]
+    data = tuple(
+        jax.device_put(jnp.asarray(a), dev)
+        for a in (feats, gains, band_mask, silence, vad)
+    )
+    history = []
+    t0 = time.time()
+    for i in range(steps):
+        idx = jnp.asarray(rng.choice(n, size=min(batch, n), replace=False))
+        minibatch = tuple(a[idx] for a in data)
+        params, opt_state, loss, (gl, vl) = step(params, opt_state, minibatch)
+        if i % 50 == 0 or i == steps - 1:
+            history.append(
+                {"step": i, "loss": float(loss), "gain_loss": float(gl),
+                 "vad_loss": float(vl)}
+            )
+            print(f"step {i:5d} loss {float(loss):.5f} "
+                  f"(gain {float(gl):.5f} vad {float(vl):.5f}) "
+                  f"{time.time() - t0:.0f}s", flush=True)
+    return params, history
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation
+# ---------------------------------------------------------------------------
+
+
+def _si_sdr(reference, estimate):
+    alpha = float(np.dot(estimate, reference)
+                  / max(np.dot(reference, reference), 1e-12))
+    target = alpha * reference
+    err = estimate - target
+    return 10.0 * np.log10(max(np.dot(target, target), 1e-12)
+                           / max(np.dot(err, err), 1e-12))
+
+
+def heldout_si_sdr(params, n_pairs: int, seed: int):
+    """SI-SDR improvement on fresh held-out mixtures through the FULL
+    staging processor (the same path the parity evaluator drives)."""
+    from audioforge_tpu.models import rnnoise as rn
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n_pairs):
+        clean, noisy, _ = _sequence(rng, 3.0, "mix")
+        n = min(clean.size, noisy.size)
+        state = rn.processor_init(params)
+        state, _ = rn.processor_push(state, noisy[:n])
+        state, _ = rn.processor_process(state)
+        state, out = rn.processor_pop(state, n)
+        lat = rn.LATENCY_SAMPLES
+        aligned = np.asarray(out)[lat:]
+        m = min(aligned.size, n - lat)
+        rows.append(float(_si_sdr(clean[:m], aligned[:m])
+                          - _si_sdr(clean[:m], noisy[:m])))
+    return rows
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seqs", type=int, default=96)
+    parser.add_argument("--seconds", type=float, default=3.0)
+    parser.add_argument("--steps", type=int, default=2500)
+    parser.add_argument("--batch", type=int, default=24)
+    parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--seed", type=int, default=SEED)
+    parser.add_argument("--output", type=Path,
+                        default=REPO_ROOT / "models" / "rnnoise.npz")
+    parser.add_argument("--heldout-pairs", type=int, default=12)
+    args = parser.parse_args()
+
+    t0 = time.time()
+    print("building corpus...", flush=True)
+    clean, noisy, vad = build_corpus(args.seqs, args.seconds, args.seed)
+    print(f"corpus {clean.shape} in {time.time() - t0:.0f}s; "
+          "extracting features...", flush=True)
+    feats, gains, band_mask, silence = extract_features(clean, noisy)
+    print(f"features done at {time.time() - t0:.0f}s; training...",
+          flush=True)
+
+    params, history = train(
+        feats, gains, band_mask, silence, vad.astype(np.float32),
+        args.steps, args.batch, args.lr, args.seed,
+    )
+
+    improvements = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1)
+    med = float(np.median(improvements))
+    print(f"held-out SI-SDR improvement: median {med:.2f} dB "
+          f"(min {min(improvements):.2f}, max {max(improvements):.2f})",
+          flush=True)
+
+    args.output.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        args.output,
+        **{k: np.asarray(v, np.float32) for k, v in params.items()},
+        __provenance__=np.asarray("trained"),
+    )
+    print(f"wrote {args.output}", flush=True)
+
+    report = {
+        "schema_version": 1,
+        "generated_at_utc": utc_now(),
+        "report": "rnnoise-training",
+        "method": (
+            "exact framework graph trained from scratch on a seeded "
+            "synthetic speech+noise corpus (published RNNoise recipe: "
+            "sqrt-gain targets on eband5ms energies, masked invalid "
+            "bands, VAD BCE); no third-party weights involved"
+        ),
+        "provenance": "trained",
+        "corpus": {
+            "sequences": args.seqs,
+            "seconds_each": args.seconds,
+            "snr_grid_db": list(SNR_GRID_DB),
+            "noise_categories": list(NOISE_CATEGORIES),
+            "seed": args.seed,
+        },
+        "training": {
+            "steps": args.steps,
+            "batch": args.batch,
+            "lr": args.lr,
+            "loss_history": history[-8:],
+            "wall_seconds": round(time.time() - t0, 1),
+        },
+        "heldout": {
+            "pairs": args.heldout_pairs,
+            "si_sdr_improvements_db": [round(v, 3) for v in improvements],
+            "median_improvement_db": round(med, 3),
+        },
+        "archive": (str(args.output.relative_to(REPO_ROOT))
+                    if args.output.is_relative_to(REPO_ROOT)
+                    else str(args.output)),
+    }
+    write_report("rnnoise-training-report.json", report)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
