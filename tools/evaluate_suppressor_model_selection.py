@@ -139,7 +139,18 @@ def evaluate():
                 "backend_failed": diag["backend_failed"],
             })
 
-    weights_converted = weights_source() == "converted"
+    # real weights = trained in-repo archives or converted official ones;
+    # bind each engine's enhancement gate on ITS model's resolved source
+    from audioforge_tpu.models import dfn3 as _dfn3
+    from audioforge_tpu.models import rnnoise as _rnnoise
+
+    sources = {
+        "rnnoise": _rnnoise.weights_source(),
+        "deepfilter-ll": _dfn3.weights_source(),
+        "deepfilter": _dfn3.weights_source(),
+    }
+    real = {m: sources[m] in ("trained", "converted") for m in MODELS}
+    weights_converted = all(real.values())
     aggregates = {}
     checks = {}
     for model, data in per_model.items():
@@ -163,7 +174,7 @@ def evaluate():
         checks[f"{model}_finite"] = all(r["finite"] for r in rows)
         checks[f"{model}_no_backend_failures"] = not any(
             r["backend_failed"] for r in rows)
-        if weights_converted:
+        if real[model]:
             checks[f"{model}_enhances"] = (
                 aggregates[model]["median_si_sdr_improvement_db"]
                 >= GATES["min_si_sdr_improvement_db_when_converted"])
@@ -178,11 +189,14 @@ def evaluate():
         "corpus": {"manifest": "models/deepfilter_fullband_eval/manifest.json",
                    "pairs_evaluated": len(selected)},
         "weights": {
-            "source": "converted" if weights_converted else "seeded",
+            "source": ("trained/converted" if weights_converted
+                       else "seeded"),
+            "per_engine_source": sources,
             "quality_gates_binding": weights_converted,
-            "note": ("seeded structural weights characterize the "
-                     "implementation, not the published models; supply "
-                     "converted archives to bind the enhancement gates"),
+            "note": ("enhancement gates bind per engine whenever its "
+                     "model resolves trained or converted archives; "
+                     "seeded structural weights characterize the "
+                     "implementation, not the published models"),
         },
         "aggregates": aggregates,
         "checks": checks,

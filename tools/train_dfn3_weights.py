@@ -99,7 +99,7 @@ def build_corpus(n_seqs: int, seconds: float, seed: int):
     return clean, noisy
 
 
-def train(clean, noisy, steps, batch, lr, seed):
+def train(clean, noisy, steps, batch, lr, seed, low_latency=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -109,14 +109,18 @@ def train(clean, noisy, steps, batch, lr, seed):
     params = dfn3.init_params(seed & 0xFFFF)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
+    # LL: output frame t reconstructs input frame t-1 (1-frame OLA latency).
+    # Standard: the 2-frame spec queue adds two more — frame t reconstructs
+    # input t-3, and the gains it carries were predicted with 2 future
+    # frames in view (genuine lookahead, `deepfilter_ffi.rs:40-43`).
+    lat_frames = 1 if low_latency else 3
 
     def seq_loss(params, noisy_frames, clean_frames):
-        st = dfn3.dfn_state_init()
+        st = dfn3.dfn_state_init(lookahead=not low_latency)
         _, ys = dfn3.dfn_frames(params, st, noisy_frames,
                                 atten_lim_db=TRAIN_ATTEN_LIM_DB)
-        # 1-frame latency: output frame t reconstructs input frame t-1
-        est = ys[1:]
-        ref = clean_frames[:-1]
+        est = ys[lat_frames:]
+        ref = clean_frames[:-lat_frames]
         # compressed spectral magnitude L2 (DeepFilterNet loss shape) on the
         # same vorbis-windowed analysis the model itself uses
         from audioforge_tpu.ops.dft import rdft_auto
@@ -182,9 +186,9 @@ def _si_sdr(reference, estimate):
                            / max(np.dot(err, err), 1e-12))
 
 
-def heldout_si_sdr(params, n_pairs: int, seed: int):
+def heldout_si_sdr(params, n_pairs: int, seed: int, low_latency=True):
     """Held-out SI-SDR improvement through the FULL staging processor at
-    the production runtime config (30 dB attenuation limit, LL mode)."""
+    the production runtime config (30 dB attenuation limit)."""
     from audioforge_tpu.models import dfn3
 
     rng = np.random.default_rng(seed)
@@ -192,11 +196,11 @@ def heldout_si_sdr(params, n_pairs: int, seed: int):
     for _ in range(n_pairs):
         clean, noisy = _sequence(rng, 3.0, "mix")
         n = min(clean.size, noisy.size)
-        state = dfn3.processor_init(params)
+        state = dfn3.processor_init(params, low_latency=low_latency)
         state, _ = dfn3.processor_push(state, noisy[:n])
         state, _ = dfn3.processor_process(state)
         state, out = dfn3.processor_pop(state, n)
-        lat = dfn3.latency_samples(True)
+        lat = dfn3.latency_samples(low_latency)
         aligned = np.asarray(out)[lat:]
         m = min(aligned.size, n - lat)
         rows.append(float(_si_sdr(clean[:m], aligned[:m])
@@ -212,10 +216,16 @@ def main() -> int:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=SEED)
-    parser.add_argument("--output", type=Path,
-                        default=REPO_ROOT / "models" / "dfn3.npz")
+    parser.add_argument("--variant", choices=("standard", "ll"), default="ll",
+                        help="latency variant: the two are different models "
+                             "with their own archives (dfn3.npz / dfn3_ll.npz)")
+    parser.add_argument("--output", type=Path, default=None)
     parser.add_argument("--heldout-pairs", type=int, default=10)
     args = parser.parse_args()
+    low_latency = args.variant == "ll"
+    if args.output is None:
+        name = "dfn3_ll.npz" if low_latency else "dfn3.npz"
+        args.output = REPO_ROOT / "models" / name
 
     t0 = time.time()
     print("building corpus...", flush=True)
@@ -224,9 +234,11 @@ def main() -> int:
           flush=True)
 
     params, history = train(
-        clean, noisy, args.steps, args.batch, args.lr, args.seed)
+        clean, noisy, args.steps, args.batch, args.lr, args.seed,
+        low_latency=low_latency)
 
-    improvements = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1)
+    improvements = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1,
+                                  low_latency=low_latency)
     med = float(np.median(improvements))
     print(f"held-out SI-SDR improvement: median {med:.2f} dB "
           f"(min {min(improvements):.2f}, max {max(improvements):.2f})",
@@ -237,13 +249,15 @@ def main() -> int:
         args.output,
         **{k: np.asarray(v, np.float32) for k, v in params.items()},
         __provenance__=np.asarray("trained"),
+        __variant__=np.asarray(args.variant),
     )
     print(f"wrote {args.output}", flush=True)
 
     report = {
         "schema_version": 1,
         "generated_at_utc": utc_now(),
-        "report": "dfn3-training",
+        "report": f"dfn3-training-{args.variant}",
+        "variant": args.variant,
         "method": (
             "exact framework graph (ERB decoder + order-5 deep filtering) "
             "trained from scratch on a seeded synthetic speech+noise "
@@ -278,7 +292,8 @@ def main() -> int:
                     if args.output.is_relative_to(REPO_ROOT)
                     else str(args.output)),
     }
-    write_report("dfn3-training-report.json", report)
+    write_report("dfn3-training-report.json" if low_latency
+                 else "dfn3-standard-training-report.json", report)
     return 0
 
 
