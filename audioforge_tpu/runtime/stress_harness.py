@@ -165,14 +165,29 @@ def run_seeded_control_dsp_stress(
         processor.set_bypass(False)
         # let the DSP thread drain the final control state AND accumulate a
         # meaningful processed-block count (>= 120 blocks = 1.2 s of audio)
-        # so downstream gates can require real work, not a vacuous pass
-        deadline = time.time() + 120.0
+        # so downstream gates can require real work, not a vacuous pass.
+        # The storm can leave a queue of freshly-specialised step variants
+        # to compile; on a slow or cache-cold host each compile is tens of
+        # seconds, so a fixed deadline under-counts real work. Gate on
+        # PROGRESS instead: keep waiting while blocks still arrive, bail
+        # only after a 240 s stall (a single blocked-scan variant compile
+        # is 60-110 s on a 1-core XLA-CPU host), with a 600 s absolute
+        # cap. Fast hosts exit as soon as the target is reached; a dead
+        # engine is already caught by the pre-warm raise above.
+        hard_deadline = time.time() + 600.0
         target_blocks = max(
             processor._counters["blocks_processed"] + 5, 120
         )
+        last_count = processor._counters["blocks_processed"]
+        last_progress = time.time()
         while (processor._counters["blocks_processed"] < target_blocks
-               and time.time() < deadline):
+               and time.time() < hard_deadline
+               and time.time() - last_progress < 240.0):
             time.sleep(0.02)
+            now_count = processor._counters["blocks_processed"]
+            if now_count != last_count:
+                last_count = now_count
+                last_progress = time.time()
         blocks = int(processor._counters["blocks_processed"])
     finally:
         processor.stop()
