@@ -24,9 +24,28 @@ def utc_now() -> str:
     return datetime.now(timezone.utc).isoformat()
 
 
+def _without_generation_stamp(report: dict) -> dict:
+    return {k: v for k, v in report.items()
+            if k not in ("generated_at", "generated_at_utc")}
+
+
 def write_report(name: str, report: dict) -> Path:
     EVALUATION_DIR.mkdir(parents=True, exist_ok=True)
     path = EVALUATION_DIR / name
+    # Idempotent: tracked decision records should only change when their
+    # CONTENT changes — a re-run that reproduces the same metrics/gates
+    # keeps the existing file (and its generation stamp) so test-suite
+    # regenerations don't churn version control with timestamp-only diffs.
+    if path.exists():
+        try:
+            existing = json.loads(path.read_text(encoding="utf-8"))
+        except (OSError, ValueError):
+            existing = None
+        if (isinstance(existing, dict)
+                and _without_generation_stamp(existing)
+                == _without_generation_stamp(report)):
+            print(f"unchanged {path.relative_to(_REPO_ROOT)}")
+            return path
     payload = json.dumps(report, indent=2, sort_keys=True, allow_nan=False)
     path.write_text(payload + "\n", encoding="utf-8")
     print(f"wrote {path.relative_to(_REPO_ROOT)}")
