@@ -1,9 +1,10 @@
-"""Application logging setup for runtime/serving code.
+"""Non-realtime log plumbing for the supervisor/control threads.
 
-Mirrors `python/mic_eq/app_logging.py`: a rotating file handler under the
-app config dir (1 MB x 3 backups), idempotent across repeat configuration,
-and never below INFO. Logging stays strictly off the RT path — only the
-supervisor/control threads log.
+Behavioral contract (mirrors `python/mic_eq/app_logging.py`): log lines
+land in ``<config dir>/AudioForge/logs/app.log`` rotated at 1 MB with
+3 backups, repeat configuration attaches no duplicate handler, and the
+root logger never sits above INFO once configured. Nothing here may be
+called from the RT/audio path — logging is host-thread-only by design.
 """
 
 from __future__ import annotations
@@ -19,39 +20,49 @@ LOG_DIR_NAME = "AudioForge"
 LOG_FILE_MAX_BYTES = 1_000_000
 LOG_FILE_BACKUP_COUNT = 3
 
-
-def _base_config_dir() -> Path:
-    if os.name == "nt":
-        return Path(os.environ.get("APPDATA", Path.home()))
-    return Path(os.environ.get("XDG_CONFIG_HOME", Path.home() / ".config"))
+_LINE_FORMAT = "%(asctime)s %(levelname)s %(name)s: %(message)s"
 
 
 def get_log_file() -> Path:
-    """Runtime log file path."""
-    return _base_config_dir() / LOG_DIR_NAME / "logs" / "app.log"
+    """Where runtime logs are written for this platform."""
+    if os.name == "nt":
+        base = os.environ.get("APPDATA") or str(Path.home())
+    else:
+        base = os.environ.get("XDG_CONFIG_HOME") or str(Path.home() / ".config")
+    return Path(base, LOG_DIR_NAME, "logs", "app.log")
+
+
+def _already_attached(logger: logging.Logger, target: Path) -> bool:
+    """True when some rotating handler on ``logger`` already owns ``target``."""
+    for h in logger.handlers:
+        if not isinstance(h, RotatingFileHandler):
+            continue
+        if Path(h.baseFilename) == target:
+            return True
+    return False
 
 
 def configure_app_logging() -> Path:
-    """Configure rotating file logging (idempotent)."""
-    log_file = get_log_file()
-    log_file.parent.mkdir(parents=True, exist_ok=True)
+    """Attach the rotating file handler once; return the log path.
 
-    root_logger = logging.getLogger()
-    for handler in root_logger.handlers:
-        if (isinstance(handler, RotatingFileHandler)
-                and Path(handler.baseFilename) == log_file):
-            return log_file
+    Safe to call from every entry point — a second call on the same
+    interpreter is a no-op beyond returning the path.
+    """
+    target = get_log_file()
+    target.parent.mkdir(parents=True, exist_ok=True)
 
-    handler = RotatingFileHandler(
-        log_file,
-        maxBytes=LOG_FILE_MAX_BYTES,
-        backupCount=LOG_FILE_BACKUP_COUNT,
-        encoding="utf-8",
-    )
-    handler.setFormatter(
-        logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
-    )
-    root_logger.addHandler(handler)
-    if root_logger.level == logging.NOTSET or root_logger.level > logging.INFO:
-        root_logger.setLevel(logging.INFO)
-    return log_file
+    root = logging.getLogger()
+    if not _already_attached(root, target):
+        sink = RotatingFileHandler(
+            target,
+            maxBytes=LOG_FILE_MAX_BYTES,
+            backupCount=LOG_FILE_BACKUP_COUNT,
+            encoding="utf-8",
+        )
+        sink.setFormatter(logging.Formatter(_LINE_FORMAT))
+        root.addHandler(sink)
+        # NOTSET (0) means "unconfigured", which logging treats as WARNING
+        # at the root — pull it down so INFO-level runtime events persist.
+        if root.level == logging.NOTSET or root.level > logging.INFO:
+            root.setLevel(logging.INFO)
+    return target
