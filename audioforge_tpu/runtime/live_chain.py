@@ -211,8 +211,7 @@ def live_init(config: LiveChainConfig, eq_bands=None, batch_shape=()) -> dict:
     }
 
 
-@partial(jax.jit, static_argnums=(0,))
-def front_block(config: LiveChainConfig, params, state, x,
+def _front_impl(config: LiveChainConfig, params, state, x,
                 vad_probability, vad_available):
     """Input half: sanitize → routing/cleanup → VAD auto-gate control →
     smart gate. ``x: [..., T]``; VAD inputs are per-block scalars from the
@@ -272,8 +271,10 @@ def front_block(config: LiveChainConfig, params, state, x,
     return new_state, y, metrics
 
 
-@partial(jax.jit, static_argnums=(0,))
-def back_block(config: LiveChainConfig, params, state, x, evidence):
+front_block = partial(jax.jit, static_argnums=(0,))(_front_impl)
+
+
+def _back_impl(config: LiveChainConfig, params, state, x, evidence):
     """Downstream half (`dsp_loop.rs:604-762` + `output_writer.rs:194-288`):
     de-esser → EQ → compressor (+evidence, limiter feedback) → limiter →
     sanitize → true-peak limiter at the main ceiling → clamp → metering.
@@ -375,6 +376,42 @@ def back_block(config: LiveChainConfig, params, state, x, evidence):
         output_lufs=out_lufs,
     )
     return new_state, y, metrics
+
+
+back_block = partial(jax.jit, static_argnums=(0,))(_back_impl)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def front_run(config: LiveChainConfig, params, state, xs,
+              vad_probability, vad_available):
+    """Fused multi-block front half: one device call scans ``xs: [k, T]``
+    through the ``front_block`` body. The host drains an input backlog by
+    fusing blocks into one dispatch (the reference drains by *discarding*
+    above 250 ms, `dsp_loop.rs:917-950`; fusing first means the engine
+    catches up without losing audio whenever per-call dispatch — not
+    compute — is what fell behind). Returns stacked per-block outputs and
+    metrics with a leading ``k`` axis."""
+    def step(st, x):
+        st, y, m = _front_impl(config, params, st, x,
+                               vad_probability, vad_available)
+        return st, (y, m)
+
+    state, (ys, ms) = jax.lax.scan(step, state, xs)
+    return state, ys, ms
+
+
+@partial(jax.jit, static_argnums=(0,))
+def back_run(config: LiveChainConfig, params, state, xs, evidence):
+    """Fused multi-block downstream half over ``xs: [k, T]``. ``evidence``
+    leaves carry a leading ``k`` axis (per-block auto-makeup inputs) or are
+    None. Counterpart of :func:`front_run` for backlog draining."""
+    def step(st, xe):
+        x, ev = xe
+        st, y, m = _back_impl(config, params, st, x, ev)
+        return st, (y, m)
+
+    state, (ys, ms) = jax.lax.scan(step, state, (xs, evidence))
+    return state, ys, ms
 
 
 def chain_latency_samples(config: LiveChainConfig,

@@ -30,10 +30,12 @@ TPU-native counterpart of the reference engine god-object
 from __future__ import annotations
 
 import math
+import os
 import threading
 import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -263,6 +265,31 @@ _DEESSER_DEFAULTS = dict(
 )
 
 
+@jax.jit
+def _pack_metric_leaves(leaves):
+    """Flatten every metric leaf into one f32 vector so the host pays a
+    single device→host transfer per burst instead of one per leaf (the
+    reference reads ~90 in-process atomics, `processor.rs:271-453`; here
+    each read crosses the host link)."""
+    return jnp.concatenate(
+        [jnp.ravel(leaf).astype(jnp.float32) for leaf in leaves]
+    )
+
+
+def _fetch_metric_trees(*trees):
+    """Fetch metric dicts with one packed device round trip; leaves come
+    back as float32 numpy arrays (counts/bools read back via float)."""
+    leaves, treedef = jax.tree_util.tree_flatten(trees)
+    packed = np.asarray(_pack_metric_leaves(leaves))
+    out = []
+    offset = 0
+    for leaf in leaves:
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        out.append(packed[offset:offset + n].reshape(leaf.shape))
+        offset += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class AudioProcessor:
     """The live engine (`processor/python_api.rs:827-2042`)."""
 
@@ -292,6 +319,13 @@ class AudioProcessor:
 
         # realtime pacing: off = as-fast-as-possible (tests/benchmarks)
         self.realtime_pacing = True
+
+        # fused backlog drain cap (blocks per device call); 8 blocks =
+        # 80 ms, far under the 250 ms hard-drop threshold
+        self._max_drain_blocks = max(1, int(os.environ.get(
+            "AUDIOFORGE_MAX_DRAIN_BLOCKS", "8")))
+        # set once the burst-shaped step has compiled (background warm)
+        self._drain_warm_ready = threading.Event()
 
         self._metrics = self._fresh_metrics()
         self._counters = self._fresh_counters()
@@ -357,6 +391,7 @@ class AudioProcessor:
             "input_phase_polarity_flipped": False,
             "dsp_time_ms": 0.0,
             "dsp_time_smoothed_ms": 0.0,
+            "dsp_drain_span_blocks": 1,
         }
 
     @staticmethod
@@ -799,11 +834,13 @@ class AudioProcessor:
                 if first:
                     # warm the compile path on silence before audio flows
                     self._process_block(
-                        config, params, state, np.zeros(BLOCK, np.float32),
+                        config, params, state,
+                        np.zeros((1, BLOCK), np.float32),
                         engine, supp_delay, topo,
                     )
                     self._dsp_ready.set()
                     first = False
+                    self._kick_drain_warm(config, params, state, topo)
                     continue
                 with self._lock:
                     self._counters["dsp_idle_wakeup_count"] += 1
@@ -821,10 +858,25 @@ class AudioProcessor:
                     self._counters["input_backlog_recovery_count"] += 1
                     self._counters["input_backlog_dropped_samples"] += dropped
                 writer.mark_discontinuity()
+                avail = self._in_ring.available()
 
-            x = self._in_ring.read(BLOCK)
-            if x.size < BLOCK:
-                x = np.pad(x, (0, BLOCK - x.size))
+            # Fused backlog drain: when a full burst is waiting the engine
+            # catches up by scanning it through one device call
+            # (front_run/back_run) instead of paying per-block dispatch —
+            # audio is only *discarded* past the 250 ms hard threshold
+            # above. Exactly two step shapes exist (1 and the cap, default
+            # 8 blocks = 80 ms) and the burst shape is compiled by a
+            # background thread at start so the hot loop never stalls on
+            # XLA (`_warm_drain_async`).
+            span = 1
+            if (self._drain_warm_ready.is_set()
+                    and avail >= self._max_drain_blocks * BLOCK
+                    and self._max_drain_blocks > 1):
+                span = self._max_drain_blocks
+
+            x = self._in_ring.read(span * BLOCK)
+            if x.size < span * BLOCK:
+                x = np.pad(x, (0, span * BLOCK - x.size))
 
             with self._lock:
                 dirty = self._params_dirty or self._topology_dirty
@@ -852,6 +904,9 @@ class AudioProcessor:
                             new_config, eq_bands=self._eq_bands
                         )["deesser"]
                     config = new_config
+                    # the burst graph is per-topology: re-warm before
+                    # bursting against the new compiled config
+                    self._kick_drain_warm(config, params, state, topo)
                 for band_index, band_cfg in pending_eq:
                     eq_bands[band_index] = band_cfg
                     try:
@@ -892,9 +947,10 @@ class AudioProcessor:
                 y = np.clip(np.nan_to_num(x), -1.0, 1.0)
             else:
                 state, y, engine, supp_delay = self._process_block(
-                    config, params, state, x, engine, supp_delay, topo
+                    config, params, state,
+                    x.reshape(span, BLOCK), engine, supp_delay, topo,
                 )
-            dsp_ms = (time.perf_counter() - started) * 1e3
+            dsp_ms = (time.perf_counter() - started) * 1e3 / span
             smoothed_dsp_ms = 0.9 * smoothed_dsp_ms + 0.1 * dsp_ms
 
             gr_hist.pop(0)
@@ -906,7 +962,8 @@ class AudioProcessor:
                 self._metrics["tp_gr_history_db"] = list(tp_hist)
                 self._metrics["dsp_time_ms"] = dsp_ms
                 self._metrics["dsp_time_smoothed_ms"] = smoothed_dsp_ms
-                self._counters["blocks_processed"] += 1
+                self._metrics["dsp_drain_span_blocks"] = span
+                self._counters["blocks_processed"] += span
 
             # output-writer conditioning: drift retime toward the queue
             # target, discontinuity fade after drops
@@ -924,17 +981,66 @@ class AudioProcessor:
             if first:
                 self._dsp_ready.set()
                 first = False
+                self._kick_drain_warm(config, params, state, topo)
+
+    def _kick_drain_warm(self, config, params, state, topo) -> None:
+        """Compile the burst-shaped drain step off the hot loop.
+
+        All live-chain functions are pure, so the warm thread can trace
+        them against a snapshot of the live state without touching it; the
+        jit caches are process-global, so once this thread finishes the
+        DSP loop's first burst call is a cache hit. Re-armed whenever the
+        compiled topology changes."""
+        span = self._max_drain_blocks
+        if span <= 1:
+            self._drain_warm_ready.set()
+            return
+        self._drain_warm_ready.clear()
+
+        def warm():
+            try:
+                xs = jnp.zeros((span, BLOCK), jnp.float32)
+                st, ys, fms = lc.front_run(
+                    config, params, state, xs,
+                    jnp.float32(0.0), jnp.bool_(False),
+                )
+                evidence = {
+                    "vad_probability": jnp.zeros((span,), jnp.float32),
+                    "vad_reliability": jnp.zeros((span,), jnp.float32),
+                    "noise_floor_db": fms["noise_floor_db"],
+                    "live_noise_reliability": fms["noise_floor_reliability"],
+                }
+                st, zs, bms = lc.back_run(config, params, st, ys, evidence)
+                _fetch_metric_trees(fms, bms)
+                if topo["suppressor_enabled"]:
+                    eng = supp.engine_init(topo["noise_model"], 1.0)
+                    eng, _ = supp.engine_push(
+                        eng, np.zeros(span * BLOCK, np.float32)
+                    )
+                    eng, _ = supp.engine_process(eng)
+                self._drain_warm_ready.set()
+            except Exception:  # noqa: BLE001 - warm is best-effort
+                pass  # bursts stay disabled; span-1 path keeps running
+
+        # non-daemon: a daemon thread torn down mid-XLA-compile at
+        # interpreter exit aborts the process (C++ exception escapes)
+        threading.Thread(target=warm, daemon=False,
+                         name="afx-drain-warm").start()
 
     def _process_block(self, config, params, state, x, engine, supp_delay,
                        topo):
-        """One full-chain block: front → suppressor → back + recording tap,
-        probe mixing, VAD tee, metric publication."""
+        """One full-chain burst: front → suppressor → back + recording tap,
+        probe mixing, VAD tee, metric publication. ``x: [k, BLOCK]`` — a
+        drain burst of ``k`` blocks fused into two device calls (k is 1 in
+        the steady state; see the drain logic in ``_dsp_loop_inner``)."""
+        k = x.shape[0]
+        total = k * BLOCK
         with self._lock:
             vad = dict(self._vad_state)
         age_ms = (time.perf_counter() - vad["timestamp"]) * 1e3
         vad_fresh = vad["available"] and age_ms <= VAD_STALE_MS
 
-        new_state, y, fm = lc.front_block(
+        new_state, y, fm = lc.front_run(
             config, params, state, jnp.asarray(x),
             jnp.float32(vad["probability"]), jnp.bool_(vad_fresh),
         )
@@ -944,10 +1050,10 @@ class AudioProcessor:
         if topo["suppressor_enabled"]:
             engine, _ = supp.engine_push(engine, y_np)
             engine, _ = supp.engine_process(engine)
-            engine, out = supp.engine_pop(engine, BLOCK)
+            engine, out = supp.engine_pop(engine, total)
             now = time.perf_counter()
             guard = self._suppressor_guard
-            if out.size < BLOCK:
+            if out.size < total:
                 # starvation: a staged engine that stops producing for
                 # 400 ms gets a soft reset, 2 s cooldown
                 # (`dsp_loop.rs:1554-1589`)
@@ -962,7 +1068,7 @@ class AudioProcessor:
                     with self._lock:
                         self._counters["output_recovery_event_count"] += 1
                 out = np.concatenate(
-                    [np.zeros(BLOCK - out.size, np.float32), out]
+                    [np.zeros(total - out.size, np.float32), out]
                 )
             else:
                 guard["last_output_at"] = now
@@ -994,57 +1100,77 @@ class AudioProcessor:
         else:
             # keep chain latency constant when the suppressor is off
             joined = np.concatenate([supp_delay, y_np])
-            y_np = joined[:BLOCK]
-            supp_delay = joined[BLOCK:]
+            y_np = joined[:total]
+            supp_delay = joined[total:]
 
+        # per-block auto-makeup evidence: the noise-floor leaves carry the
+        # burst axis from front_run; the VAD posterior is the same worker
+        # snapshot for every block in the burst (10 ms cadence, 500 ms
+        # staleness budget — an 80 ms burst stays well inside it)
         evidence = {
-            "vad_probability": jnp.float32(vad["probability"]),
-            "vad_reliability": jnp.float32(1.0 if vad_fresh else 0.0),
+            "vad_probability": jnp.broadcast_to(
+                jnp.float32(vad["probability"]), (k,)
+            ),
+            "vad_reliability": jnp.broadcast_to(
+                jnp.float32(1.0 if vad_fresh else 0.0), (k,)
+            ),
             "noise_floor_db": fm["noise_floor_db"],
             "live_noise_reliability": fm["noise_floor_reliability"],
         }
-        new_state, y2, bm = lc.back_block(
-            config, params, new_state, jnp.asarray(y_np), evidence
+        new_state, y2, bm = lc.back_run(
+            config, params, new_state, jnp.asarray(y_np).reshape(k, BLOCK),
+            evidence,
         )
         out = np.asarray(y2).ravel()
 
-        # publish metrics (host floats; one device fetch per block)
+        # publish metrics (host floats; ONE packed device fetch per burst —
+        # fetching ~35 leaves individually costs a host link round trip
+        # each) — gauges report the burst's last block, counts sum over it
+        fm, bm = _fetch_metric_trees(fm, bm)
         m = {}
-        m["input_peak_db"] = float(fm["input_peak_db"])
-        m["input_rms_db"] = float(fm["input_rms_db"])
-        m["input_crest_factor_db"] = float(fm["input_crest_factor_db"])
-        m["input_true_peak"] = float(fm["input_true_peak"])
-        m["gate_gain"] = float(fm["gate_gain"])
-        m["gate_is_open"] = bool(fm["gate_is_open"])
-        m["gate_fused_score"] = float(fm["gate_fused_score"])
-        m["gate_chatter_events"] = int(fm["gate_chatter_events"])
-        m["gate_auto_relax_active"] = bool(fm["gate_auto_relax_active"])
-        m["noise_floor_db"] = float(fm["noise_floor_db"])
-        m["noise_floor_reliability"] = float(fm["noise_floor_reliability"])
-        m["gate_threshold_db"] = float(fm["gate_threshold_db"])
-        m["hum_detected"] = bool(fm["routing_hum_detected"])
-        m["rumble_detected"] = bool(fm["routing_rumble_detected"])
-        m["selected_hp_hz"] = float(fm["routing_selected_hp_hz"])
+        m["input_peak_db"] = float(fm["input_peak_db"][-1])
+        m["input_rms_db"] = float(fm["input_rms_db"][-1])
+        m["input_crest_factor_db"] = float(fm["input_crest_factor_db"][-1])
+        m["input_true_peak"] = float(fm["input_true_peak"].max())
+        m["gate_gain"] = float(fm["gate_gain"][-1])
+        m["gate_is_open"] = bool(fm["gate_is_open"][-1])
+        m["gate_fused_score"] = float(fm["gate_fused_score"][-1])
+        m["gate_chatter_events"] = int(fm["gate_chatter_events"][-1])
+        m["gate_auto_relax_active"] = bool(fm["gate_auto_relax_active"][-1])
+        m["noise_floor_db"] = float(fm["noise_floor_db"][-1])
+        m["noise_floor_reliability"] = float(
+            fm["noise_floor_reliability"][-1]
+        )
+        m["gate_threshold_db"] = float(fm["gate_threshold_db"][-1])
+        m["hum_detected"] = bool(fm["routing_hum_detected"][-1])
+        m["rumble_detected"] = bool(fm["routing_rumble_detected"][-1])
+        m["selected_hp_hz"] = float(fm["routing_selected_hp_hz"][-1])
         m["compressor_gain_reduction_db"] = float(
-            bm["compressor_gain_reduction_db"]
+            bm["compressor_gain_reduction_db"][-1]
         )
-        m["compressor_makeup_gain_db"] = float(bm["compressor_makeup_gain_db"])
-        m["compressor_lufs"] = float(bm["compressor_lufs"])
-        m["compressor_release_ms"] = float(bm["compressor_release_ms"])
-        m["deesser_gain_reduction_db"] = float(bm["deesser_gain_reduction_db"])
+        m["compressor_makeup_gain_db"] = float(
+            bm["compressor_makeup_gain_db"][-1]
+        )
+        m["compressor_lufs"] = float(bm["compressor_lufs"][-1])
+        m["compressor_release_ms"] = float(bm["compressor_release_ms"][-1])
+        m["deesser_gain_reduction_db"] = float(
+            bm["deesser_gain_reduction_db"][-1]
+        )
         m["deesser_detector_confidence"] = float(
-            bm["deesser_detector_confidence"]
+            bm["deesser_detector_confidence"][-1]
         )
-        m["limiter_gain_reduction_db"] = float(bm["limiter_gain_reduction_db"])
-        m["tp_gain_reduction_db"] = float(bm["tp_gain_reduction_db"])
-        m["output_peak_db"] = float(bm["output_peak_db"])
-        m["output_rms_db"] = float(bm["output_rms_db"])
-        m["output_crest_factor_db"] = float(bm["output_crest_factor_db"])
-        m["output_true_peak"] = float(bm["output_true_peak"])
-        m["output_lufs"] = float(bm["output_lufs"])
-        in_clips = int(fm["input_clip_count"])
-        out_clips = int(bm["output_clip_count"])
-        tp_events = int(bm["tp_limited_events"])
+        m["limiter_gain_reduction_db"] = float(
+            bm["limiter_gain_reduction_db"].max()
+        )
+        m["tp_gain_reduction_db"] = float(bm["tp_gain_reduction_db"].max())
+        m["output_peak_db"] = float(bm["output_peak_db"][-1])
+        m["output_rms_db"] = float(bm["output_rms_db"][-1])
+        m["output_crest_factor_db"] = float(bm["output_crest_factor_db"][-1])
+        m["output_true_peak"] = float(bm["output_true_peak"].max())
+        m["output_lufs"] = float(bm["output_lufs"][-1])
+        in_clips = int(fm["input_clip_count"].sum())
+        out_clips = int(bm["output_clip_count"].sum())
+        tp_events = int(bm["tp_limited_events"].sum())
         with self._lock:
             self._metrics.update(m)
             self._metrics["limiter_peak_gain_reduction_db"] = max(
@@ -1055,13 +1181,13 @@ class AudioProcessor:
                 self._counters["clip_event_count"] += in_clips
                 self._counters["clip_peak_db"] = max(
                     self._counters["clip_peak_db"],
-                    float(fm["input_clip_peak_db"]),
+                    float(fm["input_clip_peak_db"].max()),
                 )
             if out_clips:
                 self._counters["output_clip_event_count"] += out_clips
                 self._counters["output_clip_peak_db"] = max(
                     self._counters["output_clip_peak_db"],
-                    float(bm["output_clip_peak_db"]),
+                    float(bm["output_clip_peak_db"].max()),
                 )
             self._metrics["output_true_peak_events"] += tp_events
         return new_state, out, engine, supp_delay

@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 # at interpreter start); the package honours AUDIOFORGE_PLATFORM through
 # jax.config before any backend initialises, so export that for children.
 os.environ.setdefault("AUDIOFORGE_PLATFORM", "cpu")
+# Disable the processor's fused backlog drain by default: its background
+# warm thread compiles a burst-shaped live-chain graph per processor
+# start, which the 1-core CI host cannot afford per test. The dedicated
+# drain tests opt back in with monkeypatch.
+os.environ.setdefault("AUDIOFORGE_MAX_DRAIN_BLOCKS", "1")
 
 import jax
 

@@ -119,6 +119,55 @@ class TestLiveChain:
         assert outs[-1.0] > outs[-9.0]
         assert outs[-9.0] <= 10 ** (-9.0 / 20.0) + 1e-3
 
+    def test_fused_drain_matches_per_block(self, rng):
+        """front_run/back_run (the backlog-drain burst path) must produce
+        exactly the per-block outputs: the engine catches up on dispatch
+        backlog by fusing, never by approximating. The reference instead
+        discards above 250 ms (`dsp_loop.rs:917-950`); fusing first keeps
+        the audio."""
+        cfg = lc.LiveChainConfig()
+        params = lc.live_params(cfg)
+        state = lc.live_init(cfg)
+        xs = jnp.asarray(
+            0.1 * rng.standard_normal((4, lc.BLOCK_SAMPLES)), jnp.float32
+        )
+        vp, va = jnp.float32(0.3), jnp.bool_(True)
+
+        s = state
+        ys_ref = []
+        nf, nr = [], []
+        for i in range(4):
+            s, y, fm = lc.front_block(cfg, params, s, xs[i], vp, va)
+            ys_ref.append(np.asarray(y))
+            nf.append(fm["noise_floor_db"])
+            nr.append(fm["noise_floor_reliability"])
+        s2, ys, fms = lc.front_run(cfg, params, state, xs, vp, va)
+        np.testing.assert_allclose(np.stack(ys_ref), np.asarray(ys),
+                                   rtol=0, atol=1e-6)
+
+        evid = {
+            "vad_probability": jnp.broadcast_to(vp, (4,)),
+            "vad_reliability": jnp.ones((4,), jnp.float32),
+            "noise_floor_db": fms["noise_floor_db"],
+            "live_noise_reliability": fms["noise_floor_reliability"],
+        }
+        sA = state
+        outs_ref = []
+        for i in range(4):
+            ev = {
+                "vad_probability": vp,
+                "vad_reliability": jnp.float32(1.0),
+                "noise_floor_db": jnp.stack(nf)[i],
+                "live_noise_reliability": jnp.stack(nr)[i],
+            }
+            sA, z, _ = lc.back_block(cfg, params, sA, ys[i], ev)
+            outs_ref.append(np.asarray(z))
+        sB, zs, bms = lc.back_run(cfg, params, state, ys, evid)
+        np.testing.assert_allclose(np.stack(outs_ref), np.asarray(zs),
+                                   rtol=0, atol=1e-6)
+        # stacked per-block metrics carry the burst axis
+        assert np.asarray(bms["output_peak_db"]).shape == (4,)
+
     def test_latency_accounting(self):
         cfg = lc.LiveChainConfig()
         with_supp = lc.chain_latency_samples(cfg, 480)
