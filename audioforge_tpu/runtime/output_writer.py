@@ -76,10 +76,18 @@ class OutputWriteController:
         """Arm the 6 ms fade-in after a drop (`dsp_loop.rs:794-795`)."""
         self._fade_remaining = self.fade_samples
 
-    def speed_ratio(self, fill: int) -> float:
-        """Queue-fill control law (`output_writer.rs:121-138`)."""
+    def speed_ratio(self, fill: int, blocks: int = 1) -> float:
+        """Queue-fill control law (`output_writer.rs:121-138`).
+
+        ``blocks`` is how many 10 ms blocks this call covers: a fused
+        drain burst passes the whole span through one call, so the EMA
+        coefficient is compounded to keep the control law's time constant
+        in wall time rather than in call count."""
         error = float(fill) - self.target_center_samples
-        self._drift_error_ema = self._drift_error_ema * 0.85 + error * 0.15
+        keep = 0.85 ** max(int(blocks), 1)
+        self._drift_error_ema = (
+            self._drift_error_ema * keep + error * (1.0 - keep)
+        )
         positive_zone = max(
             self.hard_backlog_samples - self.target_center_samples, 1
         )
@@ -95,10 +103,11 @@ class OutputWriteController:
             ratio = OUTPUT_MAX_EMERGENCY_CATCHUP_RATIO
         return ratio
 
-    def condition(self, block: np.ndarray, fill: int) -> np.ndarray:
+    def condition(self, block: np.ndarray, fill: int,
+                  blocks: int = 1) -> np.ndarray:
         """Retime for drift, then apply any pending discontinuity fade."""
         block = np.asarray(block, np.float32)
-        ratio = self.speed_ratio(fill)
+        ratio = self.speed_ratio(fill, blocks)
         adjusted = retime_audio_block(block, ratio)
         if adjusted.size != block.size:
             self.retime_adjustment_count += 1

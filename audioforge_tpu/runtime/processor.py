@@ -324,8 +324,20 @@ class AudioProcessor:
         # 80 ms, far under the 250 ms hard-drop threshold
         self._max_drain_blocks = max(1, int(os.environ.get(
             "AUDIOFORGE_MAX_DRAIN_BLOCKS", "8")))
-        # set once the burst-shaped step has compiled (background warm)
+        # set once the burst-shaped step has compiled (background warm).
+        # Warm requests carry a generation so a stale compile (for a
+        # config replaced mid-warm) can never re-enable bursts for a
+        # topology whose burst graph does not exist yet.
         self._drain_warm_ready = threading.Event()
+        self._drain_warm_gen = 0
+        self._warm_cv = threading.Condition()
+        self._warm_request = None
+        self._warm_thread: threading.Thread | None = None
+        # per-block limiter/true-peak values of the last full-path burst,
+        # so the UI histories keep one entry per block even when several
+        # blocks are fused into one device call
+        self._last_burst_gr: list[float] = []
+        self._last_burst_tp: list[float] = []
 
         self._metrics = self._fresh_metrics()
         self._counters = self._fresh_counters()
@@ -489,6 +501,15 @@ class AudioProcessor:
             self._stop_event.set()
             threads = self._threads
             self._threads = []
+        with self._warm_cv:
+            # wake the warm worker so it observes the stop event; drop any
+            # queued request — its generation is obsolete with the engine
+            self._warm_request = None
+            warm_thread = self._warm_thread
+            self._warm_thread = None
+            self._warm_cv.notify_all()
+        if warm_thread is not None:
+            warm_thread.join(timeout=120.0)
         for t in threads:
             # generous join: the DSP thread may be inside an XLA compile
             # (topology change) that must finish before teardown
@@ -860,28 +881,17 @@ class AudioProcessor:
                 writer.mark_discontinuity()
                 avail = self._in_ring.available()
 
-            # Fused backlog drain: when a full burst is waiting the engine
-            # catches up by scanning it through one device call
-            # (front_run/back_run) instead of paying per-block dispatch —
-            # audio is only *discarded* past the 250 ms hard threshold
-            # above. Exactly two step shapes exist (1 and the cap, default
-            # 8 blocks = 80 ms) and the burst shape is compiled by a
-            # background thread at start so the hot loop never stalls on
-            # XLA (`_warm_drain_async`).
-            span = 1
-            if (self._drain_warm_ready.is_set()
-                    and avail >= self._max_drain_blocks * BLOCK
-                    and self._max_drain_blocks > 1):
-                span = self._max_drain_blocks
-
-            x = self._in_ring.read(span * BLOCK)
-            if x.size < span * BLOCK:
-                x = np.pad(x, (0, span * BLOCK - x.size))
-
+            # Control snapshot FIRST: the drain span must be chosen
+            # against the config the burst will actually run, and the
+            # re-warm must see the post-relayout state (an EQ relayout
+            # changes leaf shapes) — otherwise a topology change could
+            # burst into a graph that has not compiled yet and stall the
+            # hot loop on inline XLA compilation.
             with self._lock:
                 dirty = self._params_dirty or self._topology_dirty
                 bypass = self._bypass
                 raw_monitor = self._raw_monitor
+            topology_changed = False
             if dirty:
                 new_config, params, topo, par, pending_eq = (
                     self._snapshot_control()
@@ -904,9 +914,7 @@ class AudioProcessor:
                             new_config, eq_bands=self._eq_bands
                         )["deesser"]
                     config = new_config
-                    # the burst graph is per-topology: re-warm before
-                    # bursting against the new compiled config
-                    self._kick_drain_warm(config, params, state, topo)
+                    topology_changed = True
                 for band_index, band_cfg in pending_eq:
                     eq_bands[band_index] = band_cfg
                     try:
@@ -933,6 +941,28 @@ class AudioProcessor:
                 engine = supp.engine_set_strength(
                     engine, par["suppressor_strength"]
                 )
+                if topology_changed:
+                    # the burst graph is per-topology: re-warm (against
+                    # the post-relayout state) before bursting again
+                    self._kick_drain_warm(config, params, state, topo)
+
+            # Fused backlog drain: when a full burst is waiting the engine
+            # catches up by scanning it through one device call
+            # (front_run/back_run) instead of paying per-block dispatch —
+            # audio is only *discarded* past the 250 ms hard threshold
+            # above. Exactly two step shapes exist (1 and the cap, default
+            # 8 blocks = 80 ms) and the burst shape is compiled by a
+            # background worker at start so the hot loop never stalls on
+            # XLA (`_warm_worker`).
+            span = 1
+            if (self._drain_warm_ready.is_set()
+                    and avail >= self._max_drain_blocks * BLOCK
+                    and self._max_drain_blocks > 1):
+                span = self._max_drain_blocks
+
+            x = self._in_ring.read(span * BLOCK)
+            if x.size < span * BLOCK:
+                x = np.pad(x, (0, span * BLOCK - x.size))
 
             # recording tap + VAD tee run on every path — calibration
             # records raw input while bypassed (`dsp_loop.rs:1255-1283`,
@@ -953,11 +983,25 @@ class AudioProcessor:
             dsp_ms = (time.perf_counter() - started) * 1e3 / span
             smoothed_dsp_ms = 0.9 * smoothed_dsp_ms + 0.1 * dsp_ms
 
-            gr_hist.pop(0)
-            tp_hist.pop(0)
             with self._lock:
-                gr_hist.append(self._metrics["limiter_gain_reduction_db"])
-                tp_hist.append(self._metrics["tp_gain_reduction_db"])
+                if not raw_monitor and not bypass:
+                    burst_gr = self._last_burst_gr or (
+                        [self._metrics["limiter_gain_reduction_db"]] * span
+                    )
+                    burst_tp = self._last_burst_tp or (
+                        [self._metrics["tp_gain_reduction_db"]] * span
+                    )
+                else:
+                    burst_gr = (
+                        [self._metrics["limiter_gain_reduction_db"]] * span
+                    )
+                    burst_tp = [self._metrics["tp_gain_reduction_db"]] * span
+                # one history entry per block, even across fused bursts
+                for gr_v, tp_v in zip(burst_gr, burst_tp):
+                    gr_hist.pop(0)
+                    tp_hist.pop(0)
+                    gr_hist.append(gr_v)
+                    tp_hist.append(tp_v)
                 self._metrics["limiter_gr_history_db"] = list(gr_hist)
                 self._metrics["tp_gr_history_db"] = list(tp_hist)
                 self._metrics["dsp_time_ms"] = dsp_ms
@@ -968,7 +1012,8 @@ class AudioProcessor:
             # output-writer conditioning: drift retime toward the queue
             # target, discontinuity fade after drops
             conditioned = writer.condition(
-                np.asarray(y, np.float32), self._out_ring.available()
+                np.asarray(y, np.float32), self._out_ring.available(),
+                blocks=span,
             )
             self._out_ring.write(conditioned)
             with self._lock:
@@ -986,18 +1031,48 @@ class AudioProcessor:
     def _kick_drain_warm(self, config, params, state, topo) -> None:
         """Compile the burst-shaped drain step off the hot loop.
 
-        All live-chain functions are pure, so the warm thread can trace
-        them against a snapshot of the live state without touching it; the
-        jit caches are process-global, so once this thread finishes the
-        DSP loop's first burst call is a cache hit. Re-armed whenever the
-        compiled topology changes."""
+        All live-chain functions are pure, but the live ``state`` dict is
+        mutated in place by the DSP thread (routing/gate/deesser/eq slot
+        replacement), so the request snapshots the tree into fresh
+        containers first — the leaves themselves are immutable device
+        arrays. Requests are generation-tagged and handled latest-wins by
+        ONE persistent worker (rapid config churn must not stack
+        concurrent XLA compiles); a warm that finishes for an outdated
+        generation never sets the ready event. The jit caches are
+        process-global, so once the worker finishes the DSP loop's first
+        burst call is a cache hit."""
         span = self._max_drain_blocks
         if span <= 1:
             self._drain_warm_ready.set()
             return
         self._drain_warm_ready.clear()
+        snapshot = jax.tree_util.tree_map(lambda leaf: leaf, state)
+        with self._warm_cv:
+            self._drain_warm_gen += 1
+            self._warm_request = (
+                self._drain_warm_gen, config, params, snapshot, topo
+            )
+            if self._warm_thread is None or not self._warm_thread.is_alive():
+                # non-daemon: a daemon thread torn down mid-XLA-compile at
+                # interpreter exit aborts the process (C++ exception
+                # escapes); stop() joins it instead
+                self._warm_thread = threading.Thread(
+                    target=self._warm_worker, daemon=False,
+                    name="afx-drain-warm",
+                )
+                self._warm_thread.start()
+            self._warm_cv.notify()
 
-        def warm():
+    def _warm_worker(self) -> None:
+        span = self._max_drain_blocks
+        while True:
+            with self._warm_cv:
+                while self._warm_request is None:
+                    if self._stop_event.is_set():
+                        return
+                    self._warm_cv.wait(timeout=0.25)
+                gen, config, params, state, topo = self._warm_request
+                self._warm_request = None
             try:
                 xs = jnp.zeros((span, BLOCK), jnp.float32)
                 st, ys, fms = lc.front_run(
@@ -1018,14 +1093,11 @@ class AudioProcessor:
                         eng, np.zeros(span * BLOCK, np.float32)
                     )
                     eng, _ = supp.engine_process(eng)
-                self._drain_warm_ready.set()
+                with self._warm_cv:
+                    if gen == self._drain_warm_gen:
+                        self._drain_warm_ready.set()
             except Exception:  # noqa: BLE001 - warm is best-effort
                 pass  # bursts stay disabled; span-1 path keeps running
-
-        # non-daemon: a daemon thread torn down mid-XLA-compile at
-        # interpreter exit aborts the process (C++ exception escapes)
-        threading.Thread(target=warm, daemon=False,
-                         name="afx-drain-warm").start()
 
     def _process_block(self, config, params, state, x, engine, supp_delay,
                        topo):
@@ -1172,6 +1244,16 @@ class AudioProcessor:
         out_clips = int(bm["output_clip_count"].sum())
         tp_events = int(bm["tp_limited_events"].sum())
         with self._lock:
+            # per-block values so burst spans keep one history entry per
+            # block (the UI timeline must not compress 8 blocks into 1)
+            self._last_burst_gr = [
+                float(v) for v in
+                np.asarray(bm["limiter_gain_reduction_db"]).ravel()
+            ]
+            self._last_burst_tp = [
+                float(v) for v in
+                np.asarray(bm["tp_gain_reduction_db"]).ravel()
+            ]
             self._metrics.update(m)
             self._metrics["limiter_peak_gain_reduction_db"] = max(
                 self._metrics["limiter_peak_gain_reduction_db"],

@@ -22,9 +22,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 # jax.config before any backend initialises, so export that for children.
 os.environ.setdefault("AUDIOFORGE_PLATFORM", "cpu")
 # Disable the processor's fused backlog drain by default: its background
-# warm thread compiles a burst-shaped live-chain graph per processor
+# warm worker compiles a burst-shaped live-chain graph per processor
 # start, which the 1-core CI host cannot afford per test. The dedicated
-# drain tests opt back in with monkeypatch.
+# drain test (test_runtime.py::TestFusedDrainProcessor) opts back in with
+# monkeypatch.setenv before constructing its processor.
 os.environ.setdefault("AUDIOFORGE_MAX_DRAIN_BLOCKS", "1")
 
 import jax

@@ -466,3 +466,51 @@ def _read_padded(ring, n):
     if out.size < n:
         out = np.concatenate([out, np.zeros(n - out.size, np.float32)])
     return out
+
+
+class TestFusedDrainProcessor:
+    def test_backlog_engages_burst_span(self, monkeypatch):
+        """With AUDIOFORGE_MAX_DRAIN_BLOCKS>1 a backlog must flow through
+        the fused burst path (span>1) once the background warm worker has
+        compiled it — exercising the span>1 branch of ``_process_block``
+        (suppressor over the whole burst, burst metric aggregation, drain
+        trigger, warm worker) at the processor level."""
+        monkeypatch.setenv("AUDIOFORGE_MAX_DRAIN_BLOCKS", "2")
+        captured = []
+        register_virtual_output(
+            "drain-capture", lambda block: captured.append(block)
+        )
+
+        class Tone:
+            def __init__(self):
+                self.n = 0
+
+            def __call__(self, n):
+                t = (self.n + np.arange(n)) / 48000.0
+                self.n += n
+                return (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+        register_virtual_input("drain-tone", Tone)
+        p = AudioProcessor()
+        p.realtime_pacing = False  # free-running input builds a backlog
+        assert p._max_drain_blocks == 2
+        p.start("drain-tone", "drain-capture")
+        try:
+            deadline = time.time() + 600.0
+            span_seen = 1
+            while time.time() < deadline:
+                span_seen = max(
+                    span_seen, int(p._metrics["dsp_drain_span_blocks"])
+                )
+                if span_seen > 1 and p._counters["blocks_processed"] > 20:
+                    break
+                time.sleep(0.05)
+            assert span_seen == 2, "fused drain burst never engaged"
+            assert p._drain_warm_ready.is_set()
+            out = np.concatenate(captured) if captured else np.zeros(1)
+            assert np.all(np.isfinite(out))
+            # burst spans keep one limiter-history entry per block
+            hist = p._metrics["limiter_gr_history_db"]
+            assert len(hist) > 0 and all(np.isfinite(hist))
+        finally:
+            p.stop()
