@@ -53,6 +53,9 @@ def main() -> int:
     parser.add_argument("--name-map", type=Path,
                         help="JSON {framework_key: source_key}")
     parser.add_argument("--output", type=Path)
+    parser.add_argument("--variant", choices=("ll", "standard"),
+                        help="DFN3 latency variant tag stamped as "
+                             "__variant__ metadata")
     args = parser.parse_args()
 
     mod = _target_module(args.model)
@@ -66,6 +69,19 @@ def main() -> int:
     if not (args.source and args.output):
         parser.error("--source and --output are required unless --list")
     source = dict(np.load(args.source))
+    if args.model == "dfn3" and not args.name_map:
+        # DFN3 conversion is not a pure rename: the transposed-conv weights
+        # are re-laid-out and flipped. The committed contract lives in
+        # dfn3.TORCH_NAME_MAP + dfn3.convert_torch_state_dict.
+        converted = mod.convert_torch_state_dict(source)
+        meta = {"__provenance__": np.asarray("converted")}
+        if args.variant:
+            meta["__variant__"] = np.asarray(args.variant)
+        args.output.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(args.output, **converted, **meta)
+        mod.load_weights(args.output)  # final contract validation
+        print(f"wrote {args.output} ({len(converted)} tensors, validated)")
+        return 0
     if args.name_map:
         name_map = json.loads(args.name_map.read_text())
     elif hasattr(mod, "ONNX_NAME_MAP"):

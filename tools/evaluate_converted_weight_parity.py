@@ -153,6 +153,60 @@ def _silero_convertibility():
     }
 
 
+def _dfn3_convertibility():
+    """Prove the DFN3 conversion path end-to-end WITHOUT the official
+    archive: a synthetic checkpoint carrying the official torch state-dict
+    names (the committed ``dfn3.TORCH_NAME_MAP`` / ``docs/dfn3_graph.md``
+    contract, including the transposed-conv re-layout) must convert, load,
+    and reproduce bit-identical enhanced frames."""
+    import subprocess
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from audioforge_tpu.models import dfn3
+
+    params = dfn3.init_params(seed=0xD0F3)
+    inv_map = {v: k for k, v in dfn3.TORCH_NAME_MAP.items()}
+    src_tensors = {}
+    for key, value in params.items():
+        arr = np.asarray(value, np.float32)
+        if key in dfn3._TRANSPOSED_KEYS:
+            arr = arr[..., ::-1].copy()  # back to torch convT orientation
+        src_tensors[inv_map[key]] = arr
+    with tempfile.TemporaryDirectory() as td:
+        src = Path(td) / "dfn3_state_dict.npz"
+        out = Path(td) / "dfn3.npz"
+        np.savez(src, **src_tensors)
+        res = subprocess.run(
+            [sys.executable,
+             str(REPO_ROOT / "tools" / "convert_model_weights.py"),
+             "--model", "dfn3", "--source", str(src),
+             "--output", str(out), "--variant", "standard"],
+            capture_output=True, text=True, timeout=600,
+        )
+        if res.returncode != 0:
+            return {"convertible": False,
+                    "reason": (res.stdout + res.stderr)[-500:]}
+        loaded = dfn3.load_weights(out)
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 6, 480)) * 0.1,
+        jnp.float32)
+    st = dfn3.dfn_state_init((2,), lookahead=True)
+    _, y_ref = dfn3.dfn_frames(params, st, x)
+    _, y_new = dfn3.dfn_frames(loaded, st, x)
+    bit_stable = bool(np.array_equal(np.asarray(y_ref), np.asarray(y_new)))
+    return {
+        "convertible": bit_stable,
+        "graph_map": "docs/dfn3_graph.md",
+        "name_map_keys": len(dfn3.TORCH_NAME_MAP),
+        "official_topology": (
+            "conv_ch 64, emb/df hidden 256, linear groups 8/16, "
+            "df_order 5, nb_df 96, nb_erb 32, lookahead 2 (standard)"),
+        "frames_bit_stable": bit_stable,
+    }
+
+
 def _rnnoise_parity():
     import json
     import wave
@@ -309,6 +363,11 @@ def evaluate():
     contracts["silero_conversion"] = dict(conv, available=True,
                                           passed=conv.get("convertible",
                                                           False))
+    dconv = _dfn3_convertibility()
+    models["dfn3"]["convertible"] = dconv.get("convertible", False)
+    contracts["dfn3_conversion"] = dict(dconv, available=True,
+                                        passed=dconv.get("convertible",
+                                                         False))
     binding = {name: models[name]["archive_present"]
                for name in ("silero", "rnnoise", "dfn3")}
     if binding["silero"]:
