@@ -178,49 +178,55 @@ def _safe_enum(value, allowed) -> str:
     return str(value) if isinstance(value, str) and value in allowed else "other"
 
 
-def _device_value(device, key: str, default=None):
-    if isinstance(device, Mapping):
-        return device.get(key, default)
-    return getattr(device, key, default)
-
-
-def _device_fields(device):
-    """Private identity string + default flag (`diagnostics_export.py:
-    280-305`). The identity never leaves this process unhashed."""
+def _device_identity(device):
+    """Identity material + default flag. The Core-Audio-style endpoint ID
+    wins when present (rename-stable, like the reference's persistence
+    policy); otherwise a tuple of weaker traits disambiguates same-named
+    devices. The material never leaves this process unhashed."""
     if device is None:
         return None
     if isinstance(device, str):
-        name = device.strip()
-        return (f"name:{name.casefold()}", False) if name else None
-    name = str(_device_value(device, "name", "")).strip()
-    if not name:
+        trimmed = device.strip()
+        if not trimmed:
+            return None
+        return ("name", trimmed.casefold()), False
+
+    def trait(key, default=None):
+        if isinstance(device, Mapping):
+            return device.get(key, default)
+        return getattr(device, key, default)
+
+    label = str(trait("name", "") or "").strip()
+    if not label:
         return None
-    is_default = bool(_device_value(device, "is_default", False))
-    endpoint_id = str(_device_value(device, "endpoint_id", "") or "").strip()
-    host_api = str(_device_value(device, "host_api", "") or "").strip().casefold()
-    direction = str(_device_value(device, "direction", "") or "").strip().casefold()
-    if endpoint_id:
-        identity = f"endpoint:{host_api}:{direction}:{endpoint_id}"
+    host = str(trait("host_api", "") or "").strip().casefold()
+    direction = str(trait("direction", "") or "").strip().casefold()
+    endpoint = str(trait("endpoint_id", "") or "").strip()
+    if endpoint:
+        material = ("endpoint", host, direction, endpoint)
     else:
-        ordinal = _device_value(device, "name_ordinal", None)
-        sample_rate = _device_value(device, "sample_rate", None)
-        channels = _device_value(device, "channels", None)
-        identity = (
-            f"fallback:{host_api}:{direction}:{name.casefold()}:"
-            f"{ordinal!r}:{sample_rate!r}:{channels!r}"
+        material = (
+            "fallback", host, direction, label.casefold(),
+            repr(trait("name_ordinal")), repr(trait("sample_rate")),
+            repr(trait("channels")),
         )
-    return identity, is_default
+    return material, bool(trait("is_default", False))
 
 
 def _pseudonymized_device(device, pseudonym_key: bytes):
-    fields = _device_fields(device)
-    if fields is None:
+    """``device-<hmac16>`` from a report-local key: pseudonyms are stable
+    within one report (same device hashes alike) and meaningless across
+    reports."""
+    identity = _device_identity(device)
+    if identity is None:
         return None
-    private_identity, is_default = fields
-    digest = hmac.new(
-        pseudonym_key, private_identity.encode("utf-8"), hashlib.sha256
-    ).hexdigest()[:16]
-    return {"pseudonym": f"device-{digest}", "is_default": is_default}
+    material, is_default = identity
+    mac = hmac.new(pseudonym_key, "\x1f".join(material).encode("utf-8"),
+                   hashlib.sha256)
+    return {
+        "pseudonym": f"device-{mac.hexdigest()[:16]}",
+        "is_default": is_default,
+    }
 
 
 def _sanitized_config(config) -> dict:
@@ -259,16 +265,25 @@ def _sanitized_eq_bands(value):
             band_enum = _EQ_BAND_ENUMS.get(band_key)
             if band_enum is not None:
                 band[band_key] = _safe_enum(band_value, band_enum)
-            elif isinstance(band_value, bool):
+            elif isinstance(band_value, bool) or band_value is None:
                 band[band_key] = band_value
-            elif band_value is None:
-                band[band_key] = None
             else:
                 number = _finite_number(band_value)
                 if number is not None:
                     band[band_key] = number
         bands.append(band)
     return bands
+
+
+def _coerced_scalar(value):
+    """bool passes through, finite numbers pass through, short numeric
+    sequences pass if EVERY element is finite; everything else drops."""
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, (list, tuple)):
+        numbers = [_finite_number(item) for item in value[:32]]
+        return numbers if all(n is not None for n in numbers) else None
+    return _finite_number(value)
 
 
 def _sanitized_processing(processing_settings) -> dict:
@@ -283,20 +298,15 @@ def _sanitized_processing(processing_settings) -> dict:
             enum_values = _PROCESSING_ENUMS.get((section, key))
             if enum_values is not None:
                 clean[key] = _safe_enum(value, enum_values)
-            elif section == "eq" and key == "bands":
+                continue
+            if section == "eq" and key == "bands":
                 bands = _sanitized_eq_bands(value)
                 if bands is not None:
                     clean[key] = bands
-            elif isinstance(value, bool):
-                clean[key] = value
-            elif isinstance(value, (list, tuple)):
-                numbers = [_finite_number(item) for item in value[:32]]
-                if all(item is not None for item in numbers):
-                    clean[key] = numbers
-            else:
-                number = _finite_number(value)
-                if number is not None:
-                    clean[key] = number
+                continue
+            coerced = _coerced_scalar(value)
+            if coerced is not None:
+                clean[key] = coerced
         result[section] = clean
     bypass = _mapping_value(processing_settings, "bypass")
     if isinstance(bypass, bool):
@@ -335,20 +345,17 @@ def _system_snapshot() -> dict[str, str]:
     }
 
 
+# substrings that mark a system string as path-like or multi-line; any hit
+# redacts the whole value (matched case-insensitively)
+_PATHLIKE_MARKERS = (":\\", ":/", "\\\\", "/home/", "/users/", "\n", "\r")
+
+
 def _safe_system_text(value) -> str:
     """Redact anything that looks like a filesystem path
     (`diagnostics_export.py:446-460`)."""
     text = str(value)[:256]
-    lowered = text.casefold()
-    if (
-        ":\\" in text
-        or ":/" in text
-        or "\\\\" in text
-        or "/home/" in lowered
-        or "/users/" in lowered
-        or "\n" in text
-        or "\r" in text
-    ):
+    probe = text.casefold()
+    if any(marker in probe for marker in _PATHLIKE_MARKERS):
         return "redacted"
     return text
 
@@ -417,60 +424,58 @@ def build_diagnostics_snapshot(
     return snapshot
 
 
+# section name -> the exhaustive field allowlist it must stay within
+_SECTION_ALLOWLISTS = {
+    "application": frozenset({"name", "version"}),
+    "system": _SYSTEM_FIELDS,
+    "audio_engine": frozenset({
+        "running", "processing_sample_rate_hz", "output_sample_rate_hz",
+        "input_device", "output_device",
+    }),
+    "configuration": _CONFIG_FIELDS,
+    "processing": frozenset({*_PROCESSING_FIELDS, "bypass"}),
+    "runtime": _RUNTIME_FIELDS,
+    "privacy": frozenset({
+        "raw_audio_included", "environment_variables_included",
+        "arbitrary_paths_included", "raw_device_names_included",
+        "secrets_included", "pseudonyms_are_report_local",
+    }),
+}
+
+
+def _require_allowlisted(section, allowed, label: str) -> None:
+    if not isinstance(section, Mapping) or not set(section) <= allowed:
+        raise ValueError(
+            f"diagnostics snapshot contains unexpected {label} fields")
+
+
 def serialize_diagnostics_snapshot(snapshot: Mapping) -> bytes:
     """Validate against the allowlist schema and serialise
-    (`diagnostics_export.py:530-609`)."""
+    (`diagnostics_export.py:530-609`). Validation is allowlist-exhaustive:
+    an unexpected field anywhere is an error, never a silent leak."""
     if set(snapshot) != _ROOT_FIELDS:
         raise ValueError("diagnostics snapshot contains unexpected root fields")
     schema = snapshot.get("schema")
     if not isinstance(schema, Mapping):
         raise ValueError("diagnostics snapshot is missing its schema")
-    if schema.get("name") != SCHEMA_NAME or schema.get("version") != SCHEMA_VERSION:
+    if (schema.get("name"), schema.get("version")) != (SCHEMA_NAME,
+                                                       SCHEMA_VERSION):
         raise ValueError("unsupported diagnostics snapshot schema")
-    sections = {
-        "application": frozenset({"name", "version"}),
-        "system": _SYSTEM_FIELDS,
-        "audio_engine": frozenset({
-            "running", "processing_sample_rate_hz", "output_sample_rate_hz",
-            "input_device", "output_device",
-        }),
-        "configuration": _CONFIG_FIELDS,
-        "processing": frozenset({*_PROCESSING_FIELDS, "bypass"}),
-        "runtime": _RUNTIME_FIELDS,
-        "privacy": frozenset({
-            "raw_audio_included", "environment_variables_included",
-            "arbitrary_paths_included", "raw_device_names_included",
-            "secrets_included", "pseudonyms_are_report_local",
-        }),
-    }
-    for section_name, allowed_fields in sections.items():
-        section = snapshot.get(section_name)
-        if not isinstance(section, Mapping) or not set(section) <= allowed_fields:
-            raise ValueError(
-                f"diagnostics snapshot contains unexpected {section_name} fields"
-            )
+    for name, allowed in _SECTION_ALLOWLISTS.items():
+        _require_allowlisted(snapshot.get(name), allowed, name)
     processing = snapshot["processing"]
-    for section_name, allowed_fields in _PROCESSING_FIELDS.items():
-        section = processing.get(section_name)
-        if section is not None and (
-            not isinstance(section, Mapping)
-            or not set(section) <= allowed_fields
-        ):
-            raise ValueError(
-                "diagnostics snapshot contains unexpected processing fields"
-            )
+    for name, allowed in _PROCESSING_FIELDS.items():
+        stage = processing.get(name)
+        if stage is not None:
+            _require_allowlisted(stage, allowed, "processing")
     eq = processing.get("eq")
-    if isinstance(eq, Mapping):
-        bands = eq.get("bands")
-        if bands is not None:
-            if not isinstance(bands, list) or any(
-                not isinstance(band, Mapping)
-                or not set(band) <= _EQ_BAND_FIELDS
-                for band in bands
-            ):
-                raise ValueError(
-                    "diagnostics snapshot contains unexpected EQ band fields"
-                )
+    bands = eq.get("bands") if isinstance(eq, Mapping) else None
+    if bands is not None:
+        if not isinstance(bands, list):
+            raise ValueError(
+                "diagnostics snapshot contains unexpected EQ band fields")
+        for band in bands:
+            _require_allowlisted(band, _EQ_BAND_FIELDS, "EQ band")
     try:
         encoded = (
             json.dumps(snapshot, indent=2, sort_keys=True, allow_nan=False)

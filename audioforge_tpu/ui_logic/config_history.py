@@ -1,11 +1,22 @@
 """Bounded, transactional undo/redo history over validated preset snapshots.
 
-Mirrors `python/mic_eq/ui/config_history.py`: snapshots are canonical JSON
-of a validated preset (so corrupt state can never enter the history), the
-cursor moves only after a successful restore, recording past the cursor
-truncates the redo branch, and overflow drops the oldest entries. Provenance
-bookkeeping marks only genuinely-changed value paths explicit
-(`config_history.py:157-204`; `README.md:58-66`).
+Behavioral contract (mirrors `python/mic_eq/ui/config_history.py`;
+`README.md:58-66`):
+
+- a snapshot is canonical JSON of a validated preset, so corrupt state can
+  never enter the history;
+- the cursor advances only AFTER a successful restore — a restore callback
+  that raises leaves the history where it was;
+- recording while undone truncates the redo branch;
+- the history is bounded: overflow evicts the oldest snapshots;
+- provenance bookkeeping marks only genuinely-changed value paths
+  ``explicit`` (`config_history.py:157-204`).
+
+Implementation here is a two-stack machine: ``_done`` holds everything up
+to and including the current snapshot, ``_undone`` holds the redo branch
+(nearest entry last). The reference keeps a flat list plus cursor; the two
+representations are equivalent and the public ``cursor``/``size``
+properties expose the flat view the UI and tests expect.
 """
 
 from __future__ import annotations
@@ -26,6 +37,9 @@ __all__ = [
 ]
 
 DEFAULT_HISTORY_LIMIT = 50
+
+# only processing state participates in undo/redo diffing — never names,
+# versions, or provenance metadata
 _CONFIGURATION_ROOTS = frozenset(
     {"gate", "eq", "rnnoise", "deesser", "compressor", "limiter", "bypass"}
 )
@@ -43,34 +57,38 @@ class ConfigurationSnapshot:
     @classmethod
     def from_preset(cls, preset: Preset, *, label: str,
                     source: str) -> "ConfigurationSnapshot":
-        payload_json = json.dumps(
+        canonical = json.dumps(
             preset.to_dict(), allow_nan=False, ensure_ascii=True,
             separators=(",", ":"), sort_keys=True,
         )
-        snapshot = cls(payload_json, str(label), str(source))
-        snapshot.to_preset()  # round-trip validation before admission
-        return snapshot
+        made = cls(canonical, str(label), str(source))
+        made.to_preset()  # round-trip validation before admission
+        return made
 
     def payload(self) -> dict[str, Any]:
-        parsed = json.loads(self.payload_json)
-        if not isinstance(parsed, dict):
+        decoded = json.loads(self.payload_json)
+        if not isinstance(decoded, dict):
             raise ValueError("configuration snapshot root must be an object")
-        return parsed
+        return decoded
 
     def to_preset(self) -> Preset:
         return Preset.from_dict(self.payload())
 
 
 class BoundedConfigurationHistory:
-    """Bounded history; the cursor moves only after successful restore
-    (`config_history.py:63-154`)."""
+    """Two-stack bounded history; the cursor moves only after a successful
+    restore (`config_history.py:63-154`)."""
 
     def __init__(self, limit: int = DEFAULT_HISTORY_LIMIT) -> None:
-        if isinstance(limit, bool) or not isinstance(limit, int) or limit < 2:
-            raise ValueError("history limit must be an integer of at least two")
+        if isinstance(limit, bool) or not isinstance(limit, int):
+            raise ValueError("history limit must be an integer >= 2")
+        if limit < 2:
+            raise ValueError("history limit must be an integer >= 2")
         self._limit = limit
-        self._entries: list[ConfigurationSnapshot] = []
-        self._cursor = -1
+        self._done: list[ConfigurationSnapshot] = []
+        self._undone: list[ConfigurationSnapshot] = []  # nearest redo LAST
+
+    # ---- flat-view properties (what the UI binds to) ----
 
     @property
     def limit(self) -> int:
@@ -78,115 +96,114 @@ class BoundedConfigurationHistory:
 
     @property
     def size(self) -> int:
-        return len(self._entries)
+        return len(self._done) + len(self._undone)
 
     @property
     def cursor(self) -> int:
-        return self._cursor
+        return len(self._done) - 1
 
     @property
     def current(self) -> ConfigurationSnapshot | None:
-        if not 0 <= self._cursor < len(self._entries):
-            return None
-        return self._entries[self._cursor]
+        return self._done[-1] if self._done else None
 
     @property
     def can_undo(self) -> bool:
-        return self._cursor > 0
+        return len(self._done) >= 2
 
     @property
     def can_redo(self) -> bool:
-        return 0 <= self._cursor < len(self._entries) - 1
+        return bool(self._undone)
 
     @property
     def undo_label(self) -> str | None:
-        return self.current.label if self.can_undo and self.current else None
+        return self._done[-1].label if self.can_undo else None
 
     @property
     def redo_label(self) -> str | None:
-        if not self.can_redo:
-            return None
-        return self._entries[self._cursor + 1].label
+        return self._undone[-1].label if self._undone else None
+
+    # ---- mutation ----
 
     def initialize(self, snapshot: ConfigurationSnapshot) -> None:
         snapshot.to_preset()
-        self._entries = [snapshot]
-        self._cursor = 0
+        self._done = [snapshot]
+        self._undone = []
 
     def record(self, snapshot: ConfigurationSnapshot) -> bool:
-        """Append after the cursor, truncating any redo branch; dedupe
-        identical payloads. Returns True when recorded."""
+        """Append as the new present, dropping any redo branch; identical
+        payloads dedupe. Returns True when actually recorded."""
         snapshot.to_preset()
-        current = self.current
-        if current is not None and current.payload_json == snapshot.payload_json:
+        latest = self.current
+        if latest is not None and latest.payload_json == snapshot.payload_json:
             return False
-        if self._cursor < len(self._entries) - 1:
-            del self._entries[self._cursor + 1:]
-        self._entries.append(snapshot)
-        self._cursor = len(self._entries) - 1
-        overflow = len(self._entries) - self._limit
-        if overflow > 0:
-            del self._entries[:overflow]
-            self._cursor -= overflow
+        self._undone.clear()
+        self._done.append(snapshot)
+        while len(self._done) > self._limit:
+            self._done.pop(0)  # evict the oldest
         return True
 
     def undo(self, restore: Callable[[ConfigurationSnapshot], None]):
+        """Restore the previous snapshot. The stacks move only after the
+        callback returns — a raise propagates with the history intact."""
         if not self.can_undo:
             return None
-        target_index = self._cursor - 1
-        target = self._entries[target_index]
+        target = self._done[-2]
         target.to_preset()
-        restore(target)  # restore first; a raise leaves the cursor put
-        self._cursor = target_index
+        restore(target)
+        self._undone.append(self._done.pop())
         return target
 
     def redo(self, restore: Callable[[ConfigurationSnapshot], None]):
         if not self.can_redo:
             return None
-        target_index = self._cursor + 1
-        target = self._entries[target_index]
+        target = self._undone[-1]
         target.to_preset()
         restore(target)
-        self._cursor = target_index
+        self._done.append(self._undone.pop())
         return target
 
 
 def changed_configuration_paths(previous: Mapping[str, Any],
                                 current: Mapping[str, Any]) -> set[str]:
-    """Changed preset value paths, excluding metadata/provenance
-    (`config_history.py:157-185`)."""
+    """Dotted paths of changed preset VALUES, metadata excluded
+    (`config_history.py:157-185`). Iterative worklist; dicts recurse by
+    key union, lists by index union (missing side reads as None)."""
     changed: set[str] = set()
-
-    def visit(before, after, path: str) -> None:
-        if isinstance(before, Mapping) and isinstance(after, Mapping):
-            for key in sorted(set(before) | set(after)):
-                child = f"{path}.{key}" if path else str(key)
-                visit(before.get(key), after.get(key), child)
-            return
-        if isinstance(before, list) and isinstance(after, list):
-            for index in range(max(len(before), len(after))):
-                left = before[index] if index < len(before) else None
-                right = after[index] if index < len(after) else None
-                visit(left, right, f"{path}.{index}")
-            return
-        if before != after:
+    pending: list[tuple[str, Any, Any]] = [
+        (root, previous.get(root), current.get(root))
+        for root in sorted(_CONFIGURATION_ROOTS)
+    ]
+    while pending:
+        path, old, new = pending.pop()
+        if isinstance(old, Mapping) and isinstance(new, Mapping):
+            for key in set(old) | set(new):
+                pending.append(
+                    (f"{path}.{key}", old.get(key), new.get(key)))
+        elif isinstance(old, list) and isinstance(new, list):
+            for i in range(max(len(old), len(new))):
+                pending.append((
+                    f"{path}.{i}",
+                    old[i] if i < len(old) else None,
+                    new[i] if i < len(new) else None,
+                ))
+        elif old != new:
             changed.add(path)
-
-    for root in sorted(_CONFIGURATION_ROOTS):
-        visit(previous.get(root), current.get(root), root)
     return changed
 
 
 def explicit_provenance_after_edit(previous: ConfigurationSnapshot,
                                    current_preset: Preset) -> dict[str, str]:
-    """Carry old provenance; mark only changed value paths explicit
+    """Provenance map after a user edit: everything carries over unchanged,
+    and exactly the changed value paths flip to ``explicit``
     (`config_history.py:188-204`)."""
-    previous_payload = previous.payload()
-    current_payload = current_preset.to_dict()
-    provenance_raw = previous_payload.get("value_provenance", {})
-    if not isinstance(provenance_raw, dict):
+    before = previous.payload()
+    after = current_preset.to_dict()
+    carried = before.get("value_provenance", {})
+    if not isinstance(carried, dict):
         raise ValueError("snapshot value_provenance must be an object")
-    provenance = {str(k): str(v) for k, v in provenance_raw.items()}
-    for path in changed_configuration_paths(previous_payload, current_payload):
-        provenance[path] = "explicit"
-    return provenance
+    merged = {str(path): str(source) for path, source in carried.items()}
+    merged.update(
+        (path, "explicit")
+        for path in changed_configuration_paths(before, after)
+    )
+    return merged

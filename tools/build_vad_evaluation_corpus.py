@@ -17,12 +17,15 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import sys
 import wave
 from pathlib import Path
 
 import numpy as np
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
 DEFAULT_OUT = REPO_ROOT / "models" / "vad_eval_corpus"
 SAMPLE_RATE = 48000
 SEED = 0xA0D10F0
@@ -80,47 +83,53 @@ def _noise(category: str, rng, n: int) -> np.ndarray:
     elif category == "engine":
         am = 0.6 + 0.4 * np.sin(2 * np.pi * 27.0 * t)
         x = am * _pink(rng, n)
-    else:  # babble: many detuned low-level harmonic streams
-        x = np.zeros(n)
-        for _ in range(6):
-            f0 = rng.uniform(100.0, 230.0)
-            rate = rng.uniform(1.5, 3.5)
-            env = 0.5 * (1 + np.sin(2 * np.pi * rate * t + rng.uniform(0, 6.28)))
-            x += env * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 6.28))
-        x += 0.1 * rng.standard_normal(n)
+    else:  # babble: overlapped talkers from the speech generator itself
+        from audioforge_tpu.analysis.speech_synth import synthesize_babble
+
+        x = synthesize_babble(rng, n / SAMPLE_RATE, n_talkers=6,
+                              sample_rate=SAMPLE_RATE)[:n].astype(np.float64)
+        if x.size < n:
+            x = np.pad(x, (0, n - x.size))
     rms = np.sqrt(np.mean(np.square(x))) or 1.0
     return (x / rms).astype(np.float32)
 
 
 def _speech(profile, rng, seconds: float):
-    """Syllabic harmonic voice with per-syllable gaps; returns (audio,
-    speech_intervals_samples)."""
+    """Formant-synthesized utterance (glottal pulse train through 3 vowel
+    resonators, fricative/plosive consonants, word prosody —
+    `analysis/speech_synth.py`); returns (audio, speech_intervals_samples).
+    The ``(f0, tilt, rate)`` profile triple is preserved from the original
+    tonal generator so every trainer's speaker-randomization code keeps
+    working; ``tilt`` maps to vocal-tract scale + high-formant emphasis."""
+    from audioforge_tpu.analysis.speech_synth import (
+        SpeechProfile,
+        synthesize_utterance,
+    )
+
     f0, tilt, rate = profile
-    n = int(seconds * SAMPLE_RATE)
-    t = np.arange(n) / SAMPLE_RATE
-    phase = rng.uniform(0, 2 * np.pi)
-    syllable = 0.5 * (1 + np.sin(2 * np.pi * rate * t + phase))
-    active = syllable > 0.45
-    # jittered pitch + 5 harmonics with formant-ish tilt
-    vibrato = 1.0 + 0.01 * np.sin(2 * np.pi * 5.3 * t)
-    voice = np.zeros(n)
-    for k in (1, 2, 3, 4, 6):
-        weight = (1.0 / k) * (tilt if k in (3, 4) else 1.0)
-        voice += weight * np.sin(2 * np.pi * f0 * k * np.cumsum(vibrato) / SAMPLE_RATE)
-    voice *= active * np.clip((syllable - 0.45) / 0.2, 0.0, 1.0)
-    rms = np.sqrt(np.mean(np.square(voice[active]))) if active.any() else 1.0
+    voice_profile = SpeechProfile(
+        f0_hz=float(f0),
+        f0_span=float(rng.uniform(0.25, 0.45)),
+        tract_scale=float(np.clip(0.7 + 0.3 * tilt, 0.75, 1.25)),
+        rate_hz=float(rate),
+        breathiness=float(rng.uniform(0.05, 0.12)),
+        tilt=float(tilt),
+    )
+    voice, raw_intervals = synthesize_utterance(
+        rng, seconds, voice_profile, SAMPLE_RATE)
+    n = voice.size
+    active_samples = (np.concatenate([voice[lo:hi]
+                                      for lo, hi in raw_intervals])
+                      if raw_intervals else voice)
+    rms = float(np.sqrt(np.mean(np.square(active_samples)))) or 1.0
     gain = 10.0 ** (TARGET_SPEECH_RMS_DBFS / 20.0) / max(rms, 1e-9)
     voice = (voice * gain).astype(np.float32)
 
     pad = int(PADDING_SECONDS * SAMPLE_RATE)
     audio = np.concatenate([np.zeros(pad, np.float32), voice,
                             np.zeros(pad, np.float32)])
-    edges = np.flatnonzero(np.diff(active.astype(int)))
-    bounds = np.concatenate([[0], edges + 1, [n]])
-    intervals = []
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        if active[lo]:
-            intervals.append((int(lo + pad), int(hi + pad)))
+    intervals = [(int(lo + pad), int(min(hi, n) + pad))
+                 for lo, hi in raw_intervals]
     return audio, intervals
 
 
@@ -161,8 +170,39 @@ def build_corpus(out_dir: Path, seconds_per_clip: float = 4.0) -> dict:
                         "speech_intervals_samples": intervals,
                     }
                 )
+    # NON-speech tone confounders (steady/AM harmonic stacks, mains hum):
+    # an energy- or pitch-based detector scores these as speech; a real
+    # discriminator must not. They carry empty speech intervals and are the
+    # hard-negative half of the AUC gates.
+    from audioforge_tpu.analysis.speech_synth import (
+        TONE_CONFOUNDER_KINDS,
+        tone_confounder,
+    )
+
+    splits = ("calibration", "development", "held_out")
+    for idx, kind in enumerate(TONE_CONFOUNDER_KINDS):
+        for rep in range(2):
+            tone = tone_confounder(rng, seconds_per_clip, kind)
+            level = 10.0 ** (TARGET_SPEECH_RMS_DBFS / 20.0)
+            name = f"confounder_{kind}_{rep}.wav"
+            digest = _write_wav(out_dir / name, tone * level)
+            captures.append(
+                {
+                    "file": name,
+                    "sha256": digest,
+                    "speaker": None,
+                    "split": splits[(idx * 2 + rep) % len(splits)],
+                    "condition": f"confounder_{kind}",
+                    "snr_db": None,
+                    "sample_rate_hz": SAMPLE_RATE,
+                    "speech_intervals_samples": [],
+                }
+            )
     manifest = {
-        "schema_version": 1,
+        "schema_version": 2,
+        "generator": ("formant speech synthesizer "
+                      "(audioforge_tpu/analysis/speech_synth.py) + shaped "
+                      "noise + tone confounders"),
         "license": "CC0 (fully synthetic, generated from the pinned seed)",
         "seed": SEED,
         "sample_rate_hz": SAMPLE_RATE,

@@ -41,11 +41,23 @@ import numpy as np  # noqa: E402
 
 from tools._evaluation_common import write_report  # noqa: E402
 
+# Falsifiable discrimination gates (VERDICT r2 item 2): a checkpoint that
+# merely passes energy through cannot clear a 5 dB median with a 0 dB
+# per-pair floor over >= 24 pairs, and an energy detector cannot clear the
+# confounder AUC (the corpus carries AM-harmonic tone negatives at speech
+# level). Reference capability bar for context: 8.59 dB median on a REAL
+# noisy corpus (`evaluation/rnnoise-backend-comparison.json`); these gates
+# hold in the synthetic formant-speech domain documented in the corpus
+# manifest.
 GATES = {
-    "silero_min_speech_noise_auc": 0.85,
-    "rnnoise_min_si_sdr_improvement_db": 0.5,
+    "silero_min_speech_noise_auc": 0.90,
+    "silero_min_speech_confounder_auc": 0.85,
+    "rnnoise_min_median_si_sdr_improvement_db": 5.0,
+    "rnnoise_min_pair_si_sdr_improvement_db": 0.0,
     "dfn3_max_passthrough_deviation_db": 0.5,
-    "dfn3_min_si_sdr_improvement_db": 0.5,
+    "dfn3_min_median_si_sdr_improvement_db": 5.0,
+    "dfn3_min_pair_si_sdr_improvement_db": 0.0,
+    "min_si_sdr_pairs": 24,
 }
 
 
@@ -75,16 +87,22 @@ def _silero_parity():
             raw = h.readframes(h.getnframes())
         return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
 
-    speech_scores, noise_scores = [], []
+    speech_scores, noise_scores, confounder_scores = [], [], []
     entries = manifest.get("captures") or []
     # bind the gate on the held-out split first (unseen speakers), padded
-    # with the rest for window volume
-    entries = sorted(entries, key=lambda e: e.get("split") != "held_out")
-    for entry in entries[:12]:
+    # with the rest for window volume; ALL tone confounders always run
+    confounders = [e for e in entries
+                   if str(e.get("condition", "")).startswith("confounder")]
+    speechy = sorted((e for e in entries if e not in confounders),
+                     key=lambda e: e.get("split") != "held_out")
+    for entry in speechy[:12] + confounders:
         audio = read(entry["file"])
         probs = np.asarray(
             analyze_vad_probabilities(audio, 48_000, 0.48), float)
         intervals = entry.get("speech_intervals_samples") or []
+        if entry in confounders:
+            confounder_scores.extend(probs.tolist())
+            continue
         win = 1536
         for w in range(len(probs)):
             lo, hi = w * win, (w + 1) * win
@@ -92,19 +110,28 @@ def _silero_parity():
             (speech_scores if in_speech else noise_scores).append(probs[w])
     if not speech_scores or not noise_scores:
         return {"available": False, "reason": "corpus lacks labeled windows"}
-    speech = np.asarray(speech_scores)
-    noise = np.asarray(noise_scores)
-    # rank-based AUC
-    ranks = np.argsort(np.argsort(np.concatenate([speech, noise])))
-    auc = ((ranks[: speech.size].sum()
-            - speech.size * (speech.size - 1) / 2)
-           / (speech.size * noise.size))
+
+    def rank_auc(pos, neg):
+        pos, neg = np.asarray(pos), np.asarray(neg)
+        ranks = np.argsort(np.argsort(np.concatenate([pos, neg])))
+        return float((ranks[: pos.size].sum()
+                      - pos.size * (pos.size - 1) / 2)
+                     / (pos.size * neg.size))
+
+    auc = rank_auc(speech_scores, noise_scores)
+    conf_auc = (rank_auc(speech_scores, confounder_scores)
+                if confounder_scores else None)
+    passed = auc >= GATES["silero_min_speech_noise_auc"] and (
+        conf_auc is None
+        or conf_auc >= GATES["silero_min_speech_confounder_auc"])
     return {
         "available": True,
-        "speech_windows": int(speech.size),
-        "noise_windows": int(noise.size),
-        "speech_noise_auc": float(auc),
-        "passed": bool(float(auc) >= GATES["silero_min_speech_noise_auc"]),
+        "speech_windows": len(speech_scores),
+        "noise_windows": len(noise_scores),
+        "confounder_windows": len(confounder_scores),
+        "speech_noise_auc": auc,
+        "speech_confounder_auc": conf_auc,
+        "passed": bool(passed),
     }
 
 
@@ -207,6 +234,27 @@ def _dfn3_convertibility():
     }
 
 
+def _si_sdr_gate(model: str, improvements: list[float]) -> dict:
+    """Shared falsifiable gate shape: >= 24 pairs, median >= the model's
+    median gate, AND a per-pair floor — a checkpoint that regresses any
+    single pair below the floor fails even with a healthy median."""
+    med = float(np.median(improvements))
+    worst = float(min(improvements))
+    passed = (
+        len(improvements) >= GATES["min_si_sdr_pairs"]
+        and med >= GATES[f"{model}_min_median_si_sdr_improvement_db"]
+        and worst >= GATES[f"{model}_min_pair_si_sdr_improvement_db"]
+    )
+    return {
+        "available": True,
+        "pairs": len(improvements),
+        "median_si_sdr_improvement_db": med,
+        "min_pair_si_sdr_improvement_db": worst,
+        "si_sdr_improvements_db": [round(v, 3) for v in improvements],
+        "passed": bool(passed),
+    }
+
+
 def _rnnoise_parity():
     import json
     import wave
@@ -231,7 +279,7 @@ def _rnnoise_parity():
             / max(np.dot(noise, noise), 1e-12))
 
     improvements = []
-    for pair in manifest["pairs"][:6]:
+    for pair in manifest["pairs"][:32]:
         clean = read(pair["clean"])
         noisy = read(pair["noisy"])
         n = min(clean.size, noisy.size)
@@ -245,13 +293,7 @@ def _rnnoise_parity():
         before = si_sdr(clean[:m], noisy[:m])
         after = si_sdr(clean[:m], aligned[:m])
         improvements.append(after - before)
-    med = float(np.median(improvements))
-    return {
-        "available": True,
-        "pairs": len(improvements),
-        "median_si_sdr_improvement_db": med,
-        "passed": bool(med >= GATES["rnnoise_min_si_sdr_improvement_db"]),
-    }
+    return _si_sdr_gate("rnnoise", improvements)
 
 
 def _dfn3_enhancement():
@@ -281,7 +323,7 @@ def _dfn3_enhancement():
             / max(np.dot(noise, noise), 1e-12))
 
     improvements = []
-    for pair in manifest["pairs"][:6]:
+    for pair in manifest["pairs"][:32]:
         clean = read(pair["clean"])
         noisy = read(pair["noisy"])
         n = min(clean.size, noisy.size)
@@ -294,13 +336,7 @@ def _dfn3_enhancement():
         m = min(aligned.size, n - lat)
         improvements.append(float(si_sdr(clean[:m], aligned[:m])
                                   - si_sdr(clean[:m], noisy[:m])))
-    med = float(np.median(improvements))
-    return {
-        "available": True,
-        "pairs": len(improvements),
-        "median_si_sdr_improvement_db": med,
-        "passed": bool(med >= GATES["dfn3_min_si_sdr_improvement_db"]),
-    }
+    return _si_sdr_gate("dfn3", improvements)
 
 
 def _dfn3_parity():

@@ -42,33 +42,44 @@ _ZERO_REQUIRED_DIAGNOSTICS = (
 )
 
 
+def _zero_counter_verdict(diagnostics: dict, key: str) -> str | None:
+    """``None`` when the counter exists and is exactly zero; otherwise a
+    ``key=<what went wrong>`` description."""
+    if key not in diagnostics:
+        return f"{key}=missing"
+    try:
+        count = int(diagnostics[key] or 0)
+    except (TypeError, ValueError):
+        return f"{key}=invalid"
+    return None if count == 0 else f"{key}={count}"
+
+
 def critical_diagnostic_failures(diagnostics: dict, *,
                                  output_underrun_baseline: int) -> list[str]:
-    failures: list[str] = []
-    for key in _ZERO_REQUIRED_DIAGNOSTICS:
-        if key not in diagnostics:
-            failures.append(f"{key}=missing")
-            continue
-        try:
-            value = int(diagnostics[key] or 0)
-        except (TypeError, ValueError):
-            failures.append(f"{key}=invalid")
-            continue
-        if value != 0:
-            failures.append(f"{key}={value}")
-
-    if not bool(diagnostics.get("noise_backend_available", False)):
-        failures.append("noise_backend_available=false")
-    if bool(diagnostics.get("noise_backend_failed", False)):
-        failures.append("noise_backend_failed=true")
-    if diagnostics.get("last_stream_error"):
-        failures.append("last_stream_error=set")
-    final = diagnostics.get("output_underrun_total")
-    if not isinstance(final, (int, float)):
+    """Every way a run can fail the zero-tolerance release gate: a strict
+    counter moved (or is missing/unreadable), the suppressor backend is
+    down or has latched failed, a stream error is recorded, or underruns
+    advanced past the post-warmup baseline."""
+    failures = [
+        verdict
+        for key in _ZERO_REQUIRED_DIAGNOSTICS
+        if (verdict := _zero_counter_verdict(diagnostics, key)) is not None
+    ]
+    flag_checks = (
+        (not diagnostics.get("noise_backend_available", False),
+         "noise_backend_available=false"),
+        (bool(diagnostics.get("noise_backend_failed", False)),
+         "noise_backend_failed=true"),
+        (bool(diagnostics.get("last_stream_error")),
+         "last_stream_error=set"),
+    )
+    failures.extend(text for tripped, text in flag_checks if tripped)
+    underruns = diagnostics.get("output_underrun_total")
+    if not isinstance(underruns, (int, float)):
         failures.append("output_underrun_total=missing_or_invalid")
-    elif int(final) != output_underrun_baseline:
+    elif int(underruns) != output_underrun_baseline:
         failures.append(
-            f"output_underrun_total={int(final)} "
+            f"output_underrun_total={int(underruns)} "
             f"(baseline {output_underrun_baseline})"
         )
     return failures

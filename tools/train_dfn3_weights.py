@@ -220,7 +220,7 @@ def main() -> int:
                         help="latency variant: the two are different models "
                              "with their own archives (dfn3.npz / dfn3_ll.npz)")
     parser.add_argument("--output", type=Path, default=None)
-    parser.add_argument("--heldout-pairs", type=int, default=10)
+    parser.add_argument("--heldout-pairs", type=int, default=24)
     args = parser.parse_args()
     low_latency = args.variant == "ll"
     if args.output is None:
@@ -282,11 +282,26 @@ def main() -> int:
             "loss_history": history[-8:],
             "wall_seconds": round(time.time() - t0, 1),
         },
+        "domain_claim": (
+            "all numbers hold in the synthetic formant-speech domain "
+            "(analysis/speech_synth.py: glottal source + 3 formants + "
+            "fricatives/plosives + speech-built babble); official-archive "
+            "capability binds through the committed conversion contract "
+            "(docs/dfn3_graph.md) once archives are supplied"
+        ),
         "heldout": {
             "pairs": args.heldout_pairs,
             "runtime_atten_lim_db": 30.0,
             "si_sdr_improvements_db": [round(v, 3) for v in improvements],
             "median_improvement_db": round(med, 3),
+            "min_pair_improvement_db": round(float(min(improvements)), 3),
+        },
+        "gates": {
+            "min_pairs": 24,
+            "min_median_improvement_db": 5.0,
+            "min_pair_improvement_db": 0.0,
+            "passed": bool(args.heldout_pairs >= 24 and med >= 5.0
+                           and min(improvements) >= 0.0),
         },
         "archive": (str(args.output.relative_to(REPO_ROOT))
                     if args.output.is_relative_to(REPO_ROOT)
@@ -294,6 +309,9 @@ def main() -> int:
     }
     write_report("dfn3-training-report.json" if low_latency
                  else "dfn3-standard-training-report.json", report)
+    if not report["gates"]["passed"]:
+        print("TRAINING GATE FAILED:", report["gates"], flush=True)
+        return 1
     return 0
 
 

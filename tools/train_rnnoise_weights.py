@@ -356,7 +356,7 @@ def main() -> int:
     parser.add_argument("--seed", type=int, default=SEED)
     parser.add_argument("--output", type=Path,
                         default=REPO_ROOT / "models" / "rnnoise.npz")
-    parser.add_argument("--heldout-pairs", type=int, default=12)
+    parser.add_argument("--heldout-pairs", type=int, default=24)
     args = parser.parse_args()
 
     t0 = time.time()
@@ -412,16 +412,34 @@ def main() -> int:
             "loss_history": history[-8:],
             "wall_seconds": round(time.time() - t0, 1),
         },
+        "domain_claim": (
+            "all numbers hold in the synthetic formant-speech domain "
+            "(analysis/speech_synth.py: glottal source + 3 formants + "
+            "fricatives/plosives + speech-built babble); the reference's "
+            "8.59 dB median is on a REAL noisy corpus and binds only once "
+            "converted official archives are supplied"
+        ),
         "heldout": {
             "pairs": args.heldout_pairs,
             "si_sdr_improvements_db": [round(v, 3) for v in improvements],
             "median_improvement_db": round(med, 3),
+            "min_pair_improvement_db": round(float(min(improvements)), 3),
+        },
+        "gates": {
+            "min_pairs": 24,
+            "min_median_improvement_db": 5.0,
+            "min_pair_improvement_db": 0.0,
+            "passed": bool(args.heldout_pairs >= 24 and med >= 5.0
+                           and min(improvements) >= 0.0),
         },
         "archive": (str(args.output.relative_to(REPO_ROOT))
                     if args.output.is_relative_to(REPO_ROOT)
                     else str(args.output)),
     }
     write_report("rnnoise-training-report.json", report)
+    if not report["gates"]["passed"]:
+        print("TRAINING GATE FAILED:", report["gates"], flush=True)
+        return 1
     return 0
 
 
