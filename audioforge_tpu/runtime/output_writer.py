@@ -59,12 +59,22 @@ def retime_audio_block(block: np.ndarray, speed_ratio: float,
 class OutputWriteController:
     """Per-stream drift/fade state (`output_writer.rs:112-192`)."""
 
-    def __init__(self, sample_rate: float = 48000.0):
+    def __init__(self, sample_rate: float = 48000.0,
+                 block_multiple: int = 1):
         fs = float(sample_rate)
-        low = int(round(OUTPUT_PRIME_MS / 1e3 * fs))
-        high = int(round(OUTPUT_TARGET_HIGH_MS / 1e3 * fs))
+        # A host step of H blocks writes H*10 ms at once, so the queue
+        # naturally swings by a full step: the control targets scale with
+        # the step or the drift law would retime the swing away as if it
+        # were clock drift. H=1 keeps the reference's 30/40/60 ms targets.
+        step = max(1, int(block_multiple)) * int(round(0.01 * fs))
+        low = max(int(round(OUTPUT_PRIME_MS / 1e3 * fs)),
+                  step + int(round(0.01 * fs)))
+        high = max(int(round(OUTPUT_TARGET_HIGH_MS / 1e3 * fs)),
+                   step + int(round(0.02 * fs)))
         self.target_center_samples = -(-(low + high) // 2)
-        self.hard_backlog_samples = int(round(OUTPUT_HARD_BACKLOG_MS / 1e3 * fs))
+        self.hard_backlog_samples = max(
+            int(round(OUTPUT_HARD_BACKLOG_MS / 1e3 * fs)),
+            2 * step + int(round(0.02 * fs)))
         self.fade_samples = max(1, int(round(DISCONTINUITY_FADE_MS / 1e3 * fs)))
         self.prime_samples = low
         self._drift_error_ema = 0.0

@@ -324,6 +324,17 @@ class AudioProcessor:
         # 80 ms, far under the 250 ms hard-drop threshold
         self._max_drain_blocks = max(1, int(os.environ.get(
             "AUDIOFORGE_MAX_DRAIN_BLOCKS", "8")))
+        # Host block multiple H (honest larger host block size): the engine
+        # steps H fused blocks at a time — ONE device dispatch per H*10 ms —
+        # for hosts whose per-dispatch overhead cannot hold 10 ms blocks at
+        # realtime (this dev host: span-1 is ~0.26x realtime, span-8 is
+        # >1.3x). Latency grows by the documented (H-1)*10 ms + scaled
+        # output priming; the production TPU target keeps H=1.
+        self._host_block_multiple = max(1, min(16, int(os.environ.get(
+            "AUDIOFORGE_HOST_BLOCK_MULTIPLE", "1"))))
+        if self._host_block_multiple > 1:
+            self._max_drain_blocks = max(
+                self._max_drain_blocks, self._host_block_multiple)
         # set once the burst-shaped step has compiled (background warm).
         # Warm requests carry a generation so a stale compile (for a
         # config replaced mid-warm) can never re-enable bursts for a
@@ -463,6 +474,7 @@ class AudioProcessor:
             self._params_dirty = True
             self._topology_dirty = False
             self._dsp_ready = threading.Event()
+            self._vad_ready = threading.Event()
 
             threads = [
                 threading.Thread(
@@ -566,9 +578,11 @@ class AudioProcessor:
         from ..ops.resample import StreamingResampler
         from .ingest import NativeIngest, native_ingest_available
 
-        # hold until the DSP step has compiled — otherwise the warm-up
-        # minute floods the ring with drops that look like runtime faults
+        # hold until the DSP step AND the VAD worker graph have compiled —
+        # otherwise the warm-up minute floods the ring with drops that look
+        # like runtime faults
         self._dsp_ready.wait(timeout=300.0)
+        self._vad_ready.wait(timeout=300.0)
 
         # Native fast path: mixdown + resample + ring write in one C call
         # per callback (phase-safe mono keeps the Python kernel — its
@@ -580,8 +594,10 @@ class AudioProcessor:
                 and hasattr(self._in_ring, "_handle")):
             native = {"mode": self._input_channel_mode}
 
-        # pull device-rate-sized chunks covering one 10 ms engine block
-        pull = max(1, int(round(BLOCK * device_rate / SAMPLE_RATE)))
+        # pull device-rate-sized chunks covering one host step (H engine
+        # blocks; H=1 is the reference's 10 ms callback cadence)
+        pull = max(1, int(round(
+            BLOCK * self._host_block_multiple * device_rate / SAMPLE_RATE)))
         resampler = (
             StreamingResampler(device_rate, SAMPLE_RATE)
             if device_rate != SAMPLE_RATE else None
@@ -734,6 +750,18 @@ class AudioProcessor:
         """Silero worker at window cadence (`processor/vad_worker.rs`)."""
         state = silero.vad_stream_init(SAMPLE_RATE)
         win = state["config"]["window_in"]
+        # warm the VAD graph BEFORE audio flows: a cold in-process XLA
+        # compile triggered by the first live window would starve the DSP
+        # thread on small hosts and drop input (the input pump holds until
+        # _vad_ready alongside _dsp_ready)
+        try:
+            silero.vad_stream_process(
+                silero.vad_stream_init(SAMPLE_RATE),
+                np.zeros(win, np.float32),
+            )
+        except Exception:  # noqa: BLE001 — warm is best-effort
+            pass
+        self._vad_ready.set()
         while not self._stop_event.is_set():
             if self._vad_ring.available() < win:
                 time.sleep(0.005)  # 5 ms idle (`vad_worker.rs`)
@@ -829,7 +857,8 @@ class AudioProcessor:
 
     def _dsp_loop_inner(self):
         config, params, topo, par, _ = self._snapshot_control()
-        writer = OutputWriteController(float(SAMPLE_RATE))
+        writer = OutputWriteController(
+            float(SAMPLE_RATE), block_multiple=self._host_block_multiple)
         with self._lock:
             eq_bands = list(self._eq_bands)
         eq_layout = eq_ops.eq_layout(eq_bands)
@@ -846,12 +875,21 @@ class AudioProcessor:
         idle_us = IDLE_SLEEP_MIN_US
         smoothed_dsp_ms = 0.0
         first = True
-        backlog_drop = int(INPUT_BACKLOG_DROP_MS / 1000.0 * SAMPLE_RATE)
-        backlog_keep = int(INPUT_BACKLOG_KEEP_MS / 1000.0 * SAMPLE_RATE)
+        # Hard backlog protection (`dsp_loop.rs:792-793`). With a host step
+        # of H blocks the queue legitimately swings by a full step between
+        # dispatches (input lands in H-block chunks, the engine consumes in
+        # H-block steps), so the drop/keep lines shift up by two steps —
+        # the same latency protection measured at the step granularity.
+        step_samples = self._host_block_multiple * BLOCK
+        backlog_drop = (int(INPUT_BACKLOG_DROP_MS / 1000.0 * SAMPLE_RATE)
+                        + 2 * (step_samples - BLOCK))
+        backlog_keep = (int(INPUT_BACKLOG_KEEP_MS / 1000.0 * SAMPLE_RATE)
+                        + (step_samples - BLOCK))
 
+        host_blocks = self._host_block_multiple
         while not self._stop_event.is_set():
             avail = self._in_ring.available()
-            if avail < BLOCK:
+            if avail < host_blocks * BLOCK:
                 if first:
                     # warm the compile path on silence before audio flows
                     self._process_block(
@@ -859,6 +897,15 @@ class AudioProcessor:
                         np.zeros((1, BLOCK), np.float32),
                         engine, supp_delay, topo,
                     )
+                    if host_blocks > 1:
+                        # the steady-state step shape: compile it BEFORE
+                        # audio flows, or the first host steps would fall
+                        # back to span-1 (sub-realtime here) and drop
+                        self._process_block(
+                            config, params, state,
+                            np.zeros((host_blocks, BLOCK), np.float32),
+                            engine, supp_delay, topo,
+                        )
                     self._dsp_ready.set()
                     first = False
                     self._kick_drain_warm(config, params, state, topo)
@@ -954,10 +1001,10 @@ class AudioProcessor:
             # 8 blocks = 80 ms) and the burst shape is compiled by a
             # background worker at start so the hot loop never stalls on
             # XLA (`_warm_worker`).
-            span = 1
+            span = host_blocks
             if (self._drain_warm_ready.is_set()
                     and avail >= self._max_drain_blocks * BLOCK
-                    and self._max_drain_blocks > 1):
+                    and self._max_drain_blocks > host_blocks):
                 span = self._max_drain_blocks
 
             x = self._in_ring.read(span * BLOCK)
@@ -1791,7 +1838,9 @@ class AudioProcessor:
             supp.model_latency_ms(topo["noise_model"]) / 1e3 * SAMPLE_RATE
         )
         samples = lc.chain_latency_samples(config, supp_lat)
-        buffered = 2 * BLOCK  # in/out ring targets
+        # in/out ring targets scale with the host step: a step of H blocks
+        # holds up to H blocks on each side (H=1 = reference accounting)
+        buffered = 2 * BLOCK * self._host_block_multiple
         return (samples + buffered) / SAMPLE_RATE * 1e3
 
     def set_latency_compensation_ms(self, compensation_ms: float):
@@ -2131,6 +2180,8 @@ class AudioProcessor:
             "gate_chatter_event_count": m["gate_chatter_events"],
             "gate_auto_relax_active": m["gate_auto_relax_active"],
             "deesser_detector_confidence": m["deesser_detector_confidence"],
+            "host_block_multiple": self._host_block_multiple,
+            "dsp_drain_span_blocks": m["dsp_drain_span_blocks"],
             "input_resampler_active": (
                 getattr(self, "_input_device_rate", SAMPLE_RATE)
                 != SAMPLE_RATE

@@ -37,8 +37,11 @@ BLOCK = 480
 BLOCK_S = BLOCK / FS
 
 
-def bench_full_live_chain():
-    """Fused serving step over the full live chain at fleet 1024."""
+def bench_full_live_chain(vad_enabled: bool = False):
+    """Fused serving step over the full live chain at fleet 1024.
+    ``vad_enabled=True`` adds the in-step batched Silero VAD (one 576-input
+    conv+LSTM per 32 ms window per stream) — the VAD-assisted gate is a
+    flagship feature and its fleet-scale cost is a tracked headline."""
     from audioforge_tpu.runtime import live_chain as lc
     from audioforge_tpu.runtime import serving as srv
     from audioforge_tpu.runtime.serving import ServingConfig, ServingEngine
@@ -47,8 +50,12 @@ def bench_full_live_chain():
     SPAN = 100  # blocks per fused call = 1 s of audio per stream
 
     eng = ServingEngine(ServingConfig(
-        capacity=FLEET, suppressor_model="rnnoise", vad_enabled=False,
-        chain=lc.LiveChainConfig(deesser_enabled=True)))
+        capacity=FLEET, suppressor_model="rnnoise", vad_enabled=vad_enabled,
+        chain=lc.LiveChainConfig(
+            deesser_enabled=True,
+            gate_mode=(lc.gate_ops.VAD_ASSISTED if vad_enabled
+                       else lc.gate_ops.THRESHOLD_ONLY),
+        )))
     rng = np.random.default_rng(1)
     params = eng._device_params()
     active = jnp.ones((FLEET,), jnp.bool_)
@@ -164,6 +171,7 @@ def bench_downstream_chain():
 
 def main():
     full_tp, full_block_s, fleet = bench_full_live_chain()
+    vad_tp, vad_block_s, _ = bench_full_live_chain(vad_enabled=True)
     down_tp, p99_ms, down_batch = bench_downstream_chain()
 
     result = {
@@ -175,6 +183,9 @@ def main():
         "vs_baseline": round(full_tp / 1000.0, 3),
         "fleet": fleet,
         "full_chain_ms_per_block": round(full_block_s * 1000.0, 3),
+        "secondary_vad_on_audio_sec_per_sec": round(vad_tp, 1),
+        "vad_on_vs_baseline": round(vad_tp / 1000.0, 3),
+        "vad_on_ms_per_block": round(vad_block_s * 1000.0, 3),
         "secondary_downstream_chain_audio_sec_per_sec": round(down_tp, 1),
         "secondary_downstream_batch": down_batch,
         "p99_block_latency_ms": round(p99_ms, 3),

@@ -36,7 +36,12 @@ SPEAKERS = {
     "dmitri": (142.0, 1.0, 2.6),
 }
 NOISE_CATEGORIES = ("white", "pink", "babble", "engine")
-SNR_GRID_DB = (10.0, 5.0, 0.0)
+# The deployment SNR regime noise suppressors exist for. The synthesis
+# path's band-gain + pitch-comb architecture caps output SI-SDR at ~15 dB
+# even with ORACLE gains (measured r3), so at SNR >= 10 "improvement" is
+# dominated by that cap, not by suppression quality — the discrimination
+# gates bind where suppression is the signal.
+SNR_GRID_DB = (5.0, 0.0, -5.0)
 
 
 def build_corpus(out_dir: Path, seconds: float = 4.0) -> dict:

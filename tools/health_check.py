@@ -103,7 +103,27 @@ def main() -> int:
     parser.add_argument("--output-device", type=str, default=None)
     parser.add_argument("--json", action="store_true",
                         help="Emit a JSON summary line on success.")
+    parser.add_argument("--host-block-multiple", type=int, default=None,
+                        help="Fused host step size in 10 ms blocks: one "
+                             "device dispatch per H blocks, for hosts whose "
+                             "per-dispatch overhead cannot hold 10 ms steps "
+                             "at realtime. Adds (H-1)*10 ms + scaled output "
+                             "priming to the documented latency; the "
+                             "summary records the value used.")
     args = parser.parse_args()
+
+    import os
+
+    if args.host_block_multiple is not None:
+        os.environ["AUDIOFORGE_HOST_BLOCK_MULTIPLE"] = str(
+            max(1, args.host_block_multiple))
+
+    # the persistent compile cache is part of the deployment recipe: a
+    # cold in-process XLA compile mid-run would starve the DSP thread on
+    # small hosts and read as a (false) realtime failure
+    from audioforge_tpu.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from audioforge_tpu import AudioProcessor
 
@@ -198,6 +218,9 @@ def main() -> int:
             "max_input_callback_age_ms": max_input_age,
             "max_output_callback_age_ms": max_output_age,
             "dsp_time_smoothed_ms": processor.get_dsp_time_smoothed_ms(),
+            "host_block_multiple": int(
+                diagnostics.get("host_block_multiple", 1)),
+            "engine_latency_ms": processor.get_engine_latency_ms(),
             "result": "pass",
         }
         if args.json:

@@ -324,26 +324,43 @@ def _si_sdr(reference, estimate):
                            / max(np.dot(err, err), 1e-12))
 
 
+# held-out gate mixes live in the deployment SNR regime (see the fullband
+# corpus builder's SNR_GRID_DB note: the synthesis path caps SI-SDR at
+# ~15 dB even with oracle gains, so high-SNR pairs measure the cap, not
+# suppression quality)
+HELDOUT_SNR_GRID_DB = (5.0, 0.0, -5.0)
+
+
 def heldout_si_sdr(params, n_pairs: int, seed: int):
     """SI-SDR improvement on fresh held-out mixtures through the FULL
     staging processor (the same path the parity evaluator drives)."""
+    global SNR_GRID_DB
     from audioforge_tpu.models import rnnoise as rn
 
     rng = np.random.default_rng(seed)
     rows = []
-    for _ in range(n_pairs):
-        clean, noisy, _ = _sequence(rng, 3.0, "mix")
-        n = min(clean.size, noisy.size)
-        state = rn.processor_init(params)
-        state, _ = rn.processor_push(state, noisy[:n])
-        state, _ = rn.processor_process(state)
-        state, out = rn.processor_pop(state, n)
-        lat = rn.LATENCY_SAMPLES
-        aligned = np.asarray(out)[lat:]
-        m = min(aligned.size, n - lat)
-        rows.append(float(_si_sdr(clean[:m], aligned[:m])
-                          - _si_sdr(clean[:m], noisy[:m])))
+    saved_grid = SNR_GRID_DB
+    SNR_GRID_DB = HELDOUT_SNR_GRID_DB
+    try:
+        for _ in range(n_pairs):
+            clean, noisy, _ = _sequence(rng, 3.0, "mix")
+            rows.append(_heldout_pair(params, rn, clean, noisy))
+    finally:
+        SNR_GRID_DB = saved_grid
     return rows
+
+
+def _heldout_pair(params, rn, clean, noisy) -> float:
+    n = min(clean.size, noisy.size)
+    state = rn.processor_init(params)
+    state, _ = rn.processor_push(state, noisy[:n])
+    state, _ = rn.processor_process(state)
+    state, out = rn.processor_pop(state, n)
+    lat = rn.LATENCY_SAMPLES
+    aligned = np.asarray(out)[lat:]
+    m = min(aligned.size, n - lat)
+    return float(_si_sdr(clean[:m], aligned[:m])
+                 - _si_sdr(clean[:m], noisy[:m]))
 
 
 def main() -> int:
