@@ -1,11 +1,32 @@
 """Auto-makeup control decision record.
 
-Framework re-run of `python/tools/evaluate_auto_makeup_real_speech.py`:
-stream generated speech-with-pauses through the production auto-makeup
-controller at the 10 ms control cadence and gate on the controller's
-behavioural contract: full makeup during speech, the 1.5 s silence relax
-pulling makeup down materially by the end of each pause, and bounded
-per-block control runtime.
+Framework re-run of the reference's VAD-driven auto-makeup retention study
+(`python/tools/evaluate_auto_makeup_real_speech.py`): stream speech-like
+clips through the production controller at the 10 ms control cadence twice
+— once with VAD posteriors ("candidate") and once with an empty posterior
+list, which the controller treats as the RMS-only fallback ("baseline") —
+and gate the candidate's behavior RELATIVE to that fallback, exactly as the
+reference does (`evaluate_auto_makeup_real_speech.py:343-371`).
+
+Methodology notes (these two points explain the round-2 divergence that
+VERDICT.md flagged as 0.427-vs-0.0498 pumping):
+
+- Pumping is a 2-8 Hz spectral concentration score of the **makeup-gain
+  trace** (`evaluate_auto_makeup_real_speech.py:152-162,264-265`), NOT of
+  the gain-reduction trace. GR tracks syllable energy at exactly 2-8 Hz by
+  design, so scoring GR measures the speech cadence, not controller
+  pumping; the round-2 number did that and was an artifact.
+- The binding pumping/inactive-gain gates are candidate-vs-fallback
+  regressions with the reference's tolerances (+0.05 pumping, +0.25 dB
+  inactive makeup), not absolute medians: the reference's published 0.0498
+  is its candidate median on its recorded-narration corpus and travels
+  with that corpus.
+
+The per-block runtime is the amortized wall time of the fused control scan
+(one device call per clip); the warm pass uses the SAME block count as the
+measured clips so XLA compilation cannot leak into the per-block figure
+(the round-2 16.2 ms p99 was compile time divided by a different block
+count).
 """
 
 from __future__ import annotations
@@ -16,117 +37,307 @@ from _evaluation_common import utc_now, write_report
 
 SAMPLE_RATE = 48000
 BLOCK = 480
+CONTROL_CADENCE_HZ = SAMPLE_RATE / BLOCK
+CLIP_SECONDS = 24.0
+N_CLIPS = 10
+VAD_ACTIVE_THRESHOLD = 0.48
+VAD_INACTIVE_THRESHOLD = 0.20
+SNR_GRID_DB = (6.0, 10.0, 14.0)
+NOISE_CATEGORIES = ("white", "pink", "keyboard", "engine", "babble")
+SEED = 0x3A11
+
+# The reference's predefined gates (`evaluate_auto_makeup_real_speech.py:
+# 396-406`), adopted verbatim: they are corpus-portable because every
+# behavioral gate is relative to the RMS-only fallback run on the same
+# clips.
+PREDEFINED_GATES = {
+    "minimum_active_block_ratio": 0.05,
+    "minimum_inactive_block_ratio": 0.02,
+    "minimum_candidate_active_makeup_db": 0.5,
+    "maximum_active_makeup_regret_db": 1.0,
+    "maximum_inactive_makeup_regression_db": 0.25,
+    "maximum_pumping_score_regression": 0.05,
+    "maximum_p99_boundary_excess_linear": 0.01,
+    "maximum_boundary_regression_linear": 0.001,
+    "maximum_p99_block_runtime_ms": 10.0,
+}
 
 
-def _speech_with_pauses(seed: int, seconds: float = 8.0):
-    rng = np.random.default_rng(seed)
-    n = int(seconds * SAMPLE_RATE)
-    t = np.arange(n) / SAMPLE_RATE
-    speaking = ((t % 4.0) < 2.0)  # 2 s pauses >> the 1.5 s relax
-    envelope = speaking * (0.6 + 0.4 * np.sin(2 * np.pi * 2.3 * t) ** 2)
-    voice = np.zeros(n)
-    for harmonic in (1, 2, 3, 5):
-        voice += np.sin(2 * np.pi * 140.0 * harmonic * t) / harmonic
-    voice /= np.max(np.abs(voice))
-    x = 0.1 * envelope * voice + 0.002 * rng.standard_normal(n)
-    blocks = -(-n // BLOCK)
-    block_active = speaking[: blocks * BLOCK].reshape(blocks, -1).mean(1) > 0.5
-    probs = np.where(block_active, 0.92, 0.04)
-    return x.astype(np.float32), probs, block_active
+def _pumping_score(trace_db: np.ndarray) -> float:
+    """2-8 Hz spectral concentration of a control-cadence gain trace
+    (`evaluate_auto_makeup_real_speech.py:152-162`)."""
+    if trace_db.size < 10:
+        return 0.0
+    centered = trace_db - np.mean(trace_db)
+    spectrum = np.fft.rfft(centered * np.hanning(centered.size))
+    freqs = np.fft.rfftfreq(centered.size, 1.0 / CONTROL_CADENCE_HZ)
+    band = (freqs >= 2.0) & (freqs <= 8.0)
+    total = float(np.sum(np.abs(spectrum) ** 2))
+    if total <= 1e-12 or not np.any(band):
+        return 0.0
+    return float(np.sqrt(np.sum(np.abs(spectrum[band]) ** 2) / total))
+
+
+def _window_probs_to_control(window_probs, n_samples: int, n_blocks: int):
+    """Interpolate window-cadence posteriors onto control-block centers
+    (`evaluate_auto_makeup_real_speech.py:114-132`)."""
+    p = np.asarray(window_probs, np.float64)
+    if p.size == 0:
+        return np.zeros(n_blocks)
+    duration = n_samples / SAMPLE_RATE
+    src_t = (np.arange(p.size) + 0.5) * (duration / p.size)
+    dst_t = (np.arange(n_blocks) + 0.5) / CONTROL_CADENCE_HZ
+    return np.interp(dst_t, src_t, p, left=float(p[0]), right=float(p[-1]))
+
+
+def _build_clip(rng, index: int):
+    """One speech-with-pauses clip mixed with noise: analogous to one
+    30-second language segment of the reference corpus. Returns
+    (clean, noisy) float32 at 48 kHz, equal length."""
+    from audioforge_tpu.analysis.speech_synth import (
+        SpeechProfile, synthesize_utterance,
+    )
+    from build_vad_evaluation_corpus import _noise
+
+    profile = SpeechProfile(
+        f0_hz=float(rng.uniform(90.0, 250.0)),
+        tract_scale=float(rng.uniform(0.85, 1.2)),
+        rate_hz=float(rng.uniform(2.0, 3.8)),
+        tilt=float(rng.uniform(0.7, 1.3)),
+    )
+    n = int(CLIP_SECONDS * SAMPLE_RATE)
+    clean = np.zeros(n, np.float32)
+    # alternate utterances and genuine pauses so both masks have evidence
+    pos = int(0.4 * SAMPLE_RATE)
+    while pos < n - SAMPLE_RATE:
+        utt_s = float(rng.uniform(2.0, 4.5))
+        audio, _ = synthesize_utterance(rng, utt_s, profile)
+        take = min(audio.size, n - pos)
+        clean[pos:pos + take] = audio[:take]
+        pos += take + int(rng.uniform(1.6, 2.6) * SAMPLE_RATE)
+    level = float(rng.uniform(-26.0, -16.0))
+    act = np.abs(clean) > 1e-5
+    rms = float(np.sqrt(np.mean(clean[act] ** 2))) if act.any() else 1.0
+    clean *= 10.0 ** (level / 20.0) / max(rms, 1e-9)
+
+    noise = _noise(str(rng.choice(NOISE_CATEGORIES)), rng, n)
+    snr = float(SNR_GRID_DB[index % len(SNR_GRID_DB)])
+    speech_rms = float(np.sqrt(np.mean(clean[act] ** 2))) if act.any() else 0.05
+    noise_rms = float(np.sqrt(np.mean(noise ** 2))) or 1.0
+    noise = noise * (speech_rms / (10.0 ** (snr / 20.0)) / noise_rms)
+    noisy = clean + noise.astype(np.float32)
+    peak = float(np.max(np.abs(noisy))) or 1.0
+    if peak > 0.98:
+        clean *= 0.98 / peak
+        noisy *= 0.98 / peak
+    return clean, noisy
+
+
+def _run_clip(clean, noisy, settings):
+    from audioforge_tpu import (
+        analyze_vad_probabilities, simulate_auto_makeup_control,
+    )
+
+    n_blocks = -(-noisy.size // BLOCK)
+    clean_ctl = _window_probs_to_control(
+        analyze_vad_probabilities(clean, SAMPLE_RATE), clean.size, n_blocks)
+    noisy_ctl = _window_probs_to_control(
+        analyze_vad_probabilities(noisy, SAMPLE_RATE), noisy.size, n_blocks)
+    active = clean_ctl >= VAD_ACTIVE_THRESHOLD
+    inactive = clean_ctl <= VAD_INACTIVE_THRESHOLD
+
+    rms_db = 20.0 * np.log10(np.maximum(np.sqrt(np.mean(
+        np.square(noisy[: n_blocks * BLOCK].reshape(n_blocks, BLOCK),
+                  dtype=np.float64), axis=1)), 1e-9))
+    floor_db = float(np.median(rms_db[inactive])) if inactive.any() \
+        else float(np.percentile(rms_db, 20.0))
+
+    candidate = simulate_auto_makeup_control(
+        noisy, SAMPLE_RATE, noisy_ctl.tolist(), floor_db, 1.0, settings)
+    baseline = simulate_auto_makeup_control(
+        noisy, SAMPLE_RATE, [], floor_db, 1.0, settings)
+
+    cand_gain = np.asarray(candidate["makeup_gain_db"])
+    base_gain = np.asarray(baseline["makeup_gain_db"])
+    cand_out = np.asarray(candidate["output_audio"])
+    base_out = np.asarray(baseline["output_audio"])
+    count = min(cand_gain.size, base_gain.size, active.size)
+    active, inactive = active[:count], inactive[:count]
+    cand_gain, base_gain = cand_gain[:count], base_gain[:count]
+
+    def med(values, mask):
+        return float(np.median(values[mask])) if mask.any() else 0.0
+
+    boundaries = np.arange(BLOCK, noisy.size, BLOCK)
+    in_jumps = np.abs(noisy[boundaries] - noisy[boundaries - 1])
+    cand_excess = np.maximum(
+        np.abs(cand_out[boundaries] - cand_out[boundaries - 1]) - in_jumps, 0.0)
+    base_excess = np.maximum(
+        np.abs(base_out[boundaries] - base_out[boundaries - 1]) - in_jumps, 0.0)
+
+    return {
+        "active_block_ratio": float(np.mean(active)),
+        "inactive_block_ratio": float(np.mean(inactive)),
+        "noise_floor_db": round(floor_db, 2),
+        "candidate_active_makeup_db": med(cand_gain, active),
+        "baseline_active_makeup_db": med(base_gain, active),
+        "candidate_inactive_makeup_db": med(cand_gain, inactive),
+        "baseline_inactive_makeup_db": med(base_gain, inactive),
+        "candidate_pumping_score": _pumping_score(cand_gain),
+        "baseline_pumping_score": _pumping_score(base_gain),
+        "candidate_max_transition_db": float(
+            np.max(np.abs(np.diff(cand_gain)), initial=0.0)),
+        "candidate_p99_boundary_excess_linear": float(
+            np.percentile(cand_excess, 99.0)),
+        "baseline_p99_boundary_excess_linear": float(
+            np.percentile(base_excess, 99.0)),
+        "candidate_p99_block_runtime_ms": float(
+            candidate["p99_block_runtime_ms"]),
+    }
 
 
 def main() -> int:
     from audioforge_tpu import simulate_auto_makeup_control
-    from audioforge_tpu.api import compressor_pumping_score
 
-    audio, probs, active = _speech_with_pauses(11)
-    settings = {"target_lufs": -18.0, "threshold_db": -28.0, "ratio": 3.0}
+    settings = {
+        "vad_reliability": 1.0,
+        "adaptive_release": True,
+        "return_output_audio": True,
+        "target_lufs": -18.0,
+        "threshold_db": -24.0,
+        "ratio": 3.0,
+        "attack_ms": 10.0,
+        "release_ms": 180.0,
+    }
+    rng = np.random.default_rng(SEED)
+    clips = [_build_clip(rng, i) for i in range(N_CLIPS)]
 
-    # warm pass first: the reported per-block runtime otherwise includes
-    # the one-time XLA compile of the control step
+    # warm pass at the EXACT production shape so compilation never enters
+    # the measured amortized per-block runtime
+    warm = clips[0][1]
+    n_blocks = -(-warm.size // BLOCK)
     simulate_auto_makeup_control(
-        audio[: SAMPLE_RATE], SAMPLE_RATE, probs[:100], noise_floor_db=-60.0,
-        noise_reliability=0.9, settings=settings,
-    )
-    diag = simulate_auto_makeup_control(
-        audio, SAMPLE_RATE, probs, noise_floor_db=-60.0,
-        noise_reliability=0.9, settings=settings,
-    )
-    makeup = np.asarray(diag["makeup_gain_db"])
-    act = np.asarray(diag["activity"])
-    blocks = makeup.size
-    active = active[:blocks]
+        warm, SAMPLE_RATE, [0.5] * n_blocks, -60.0, 1.0, settings)
+    simulate_auto_makeup_control(warm, SAMPLE_RATE, [], -60.0, 1.0, settings)
 
-    # makeup at the END of each pause (last 0.4 s before speech resumes)
-    edges = np.flatnonzero(np.diff(active.astype(int)) == 1)
-    pause_end = np.concatenate([
-        makeup[max(e - 40, 0):e] for e in edges if e > 40
-    ]) if len(edges) else makeup[~active]
+    rows = [_run_clip(c, x, settings) for c, x in clips]
+
+    def median_of(key):
+        return float(np.median([r[key] for r in rows]))
+
+    def p95_of(key):
+        return float(np.percentile([r[key] for r in rows], 95.0))
 
     metrics = {
-        "speech_makeup_median_db": round(float(np.median(makeup[active])), 3),
-        "pause_end_makeup_median_db": round(float(np.median(pause_end)), 3),
-        "pause_activity_median": round(float(np.median(act[~active])), 3),
-        "speech_activity_median": round(float(np.median(act[active])), 3),
-        "pumping_score": round(float(compressor_pumping_score(
-            np.asarray(diag["gain_reduction_db"], np.float32),
-            diag["control_cadence_hz"],
-        )), 4),
-        "p99_block_runtime_ms": diag["p99_block_runtime_ms"],
+        "median_candidate_active_makeup_db": round(
+            median_of("candidate_active_makeup_db"), 3),
+        "median_baseline_active_makeup_db": round(
+            median_of("baseline_active_makeup_db"), 3),
+        "median_candidate_inactive_makeup_db": round(
+            median_of("candidate_inactive_makeup_db"), 3),
+        "median_baseline_inactive_makeup_db": round(
+            median_of("baseline_inactive_makeup_db"), 3),
+        "median_candidate_pumping_score": round(
+            median_of("candidate_pumping_score"), 4),
+        "median_baseline_pumping_score": round(
+            median_of("baseline_pumping_score"), 4),
+        "p95_candidate_p99_boundary_excess_linear": round(
+            p95_of("candidate_p99_boundary_excess_linear"), 6),
+        "p95_baseline_p99_boundary_excess_linear": round(
+            p95_of("baseline_p99_boundary_excess_linear"), 6),
+        "max_candidate_p99_block_runtime_ms": round(
+            max(r["candidate_p99_block_runtime_ms"] for r in rows), 4),
+        "minimum_active_block_ratio": round(
+            min(r["active_block_ratio"] for r in rows), 3),
+        "minimum_inactive_block_ratio": round(
+            min(r["inactive_block_ratio"] for r in rows), 3),
     }
-
+    g = PREDEFINED_GATES
     gates = {
-        "silence_relax_min_db": 2.5,
-        "pause_activity_max": 0.2,
-        "p99_block_runtime_ms_max": 25.0,
+        "all_clips_contain_active_and_inactive_evidence": (
+            metrics["minimum_active_block_ratio"]
+            >= g["minimum_active_block_ratio"]
+            and metrics["minimum_inactive_block_ratio"]
+            >= g["minimum_inactive_block_ratio"]),
+        "speech_convergence_retained": (
+            metrics["median_candidate_active_makeup_db"]
+            >= g["minimum_candidate_active_makeup_db"]
+            and metrics["median_candidate_active_makeup_db"]
+            >= metrics["median_baseline_active_makeup_db"]
+            - g["maximum_active_makeup_regret_db"]),
+        "inactive_gain_not_worse_than_rms_fallback": (
+            metrics["median_candidate_inactive_makeup_db"]
+            <= metrics["median_baseline_inactive_makeup_db"]
+            + g["maximum_inactive_makeup_regression_db"]),
+        "pumping_not_worse_than_rms_fallback": (
+            metrics["median_candidate_pumping_score"]
+            <= metrics["median_baseline_pumping_score"]
+            + g["maximum_pumping_score_regression"]),
+        "boundary_discontinuity_not_worse_than_rms_fallback": (
+            metrics["p95_candidate_p99_boundary_excess_linear"]
+            <= max(g["maximum_p99_boundary_excess_linear"],
+                   metrics["p95_baseline_p99_boundary_excess_linear"]
+                   + g["maximum_boundary_regression_linear"])),
+        "p99_control_work_within_10ms_deadline": (
+            metrics["max_candidate_p99_block_runtime_ms"]
+            <= g["maximum_p99_block_runtime_ms"]),
     }
-    # reference context (BASELINE.md, reference auto-makeup-real-speech
-    # report): inactive-makeup median 0.55 dB (vs 4.12 naive), pumping
-    # 0.0498 (vs 0.0935). NOT gated here: that corpus is recorded
-    # narration at different levels; this record's stimulus is generated
-    # speech, so the binding gates above are relative (speech-vs-pause
-    # relax margin) rather than absolute medians.
-    reference_context = {
-        "inactive_makeup_median_db": 0.55,
-        "naive_inactive_makeup_median_db": 4.12,
-        "pumping_score": 0.0498,
-        "naive_pumping_score": 0.0935,
-        "corpus": "recorded narration (not comparable to this record's "
-                  "generated stimulus)",
-    }
-    passed = (
-        metrics["speech_makeup_median_db"]
-        - metrics["pause_end_makeup_median_db"]
-        >= gates["silence_relax_min_db"]
-        and metrics["pause_activity_median"] <= gates["pause_activity_max"]
-        and metrics["p99_block_runtime_ms"]
-        <= gates["p99_block_runtime_ms_max"]
-    )
+    retained = all(gates.values())
 
     report = {
-        "schema_version": 1,
+        "schema_version": 2,
         "generated_at_utc": utc_now(),
-        "method": (
-            "generated speech-with-pauses; speech-aware controller (VAD + "
-            "noise evidence) vs naive level-only fallback at the 10 ms "
-            "control cadence"
+        "experiment": (
+            "VAD/noise-reliability auto-makeup versus RMS-only fallback"
         ),
-        "predefined_gates": gates,
-        "reference_context": reference_context,
+        "method": (
+            f"{N_CLIPS} formant-speech clips ({CLIP_SECONDS:.0f} s each, "
+            "analysis/speech_synth.py) mixed with seeded noise at "
+            f"{SNR_GRID_DB} dB SNR; clean-signal Silero posteriors define "
+            "active/inactive masks, noisy posteriors drive the candidate "
+            "controller; baseline = same clips with an empty posterior "
+            "list (RMS-only fallback). Pumping scored on the makeup-gain "
+            "trace per the reference methodology."
+        ),
+        "retained": retained,
+        "predefined_gates": PREDEFINED_GATES,
         "metrics": metrics,
-        "decision": {
-            "auto_makeup": "retain_speech_aware_control" if passed
-            else "investigate",
-            "reason": (
-                "Speech gets full makeup, pauses relax it by the gated "
-                "margin, and control runtime stays bounded."
-                if passed else "A behavior gate failed; see metrics."
+        "gates": gates,
+        "cases": rows,
+        "reference_context": {
+            "candidate_pumping_score": 0.0498,
+            "baseline_pumping_score": 0.0935,
+            "candidate_inactive_makeup_db": 0.55,
+            "baseline_inactive_makeup_db": 4.12,
+            "max_candidate_p99_block_runtime_ms": 0.160,
+            "corpus": (
+                "recorded multilingual narration; absolute medians travel "
+                "with that corpus, so the binding gates here are the "
+                "reference's candidate-vs-fallback regressions on this "
+                "record's clips"
             ),
         },
-        "limitations": ["Generated speech, not recorded narration."],
+        "round2_divergence_explained": (
+            "round 2 reported pumping 0.427 because it scored the "
+            "gain-reduction trace (which tracks the 2-8 Hz syllable "
+            "cadence by design) instead of the makeup-gain trace, and "
+            "its 16.2 ms p99 block runtime divided one-time XLA compile "
+            "over a block count that differed from the warm pass; both "
+            "artifacts are fixed in this record's methodology"
+        ),
+        "limitations": [
+            "Synthetic formant speech, not recorded narration.",
+            "Masks come from this repo's trained Silero weights rather "
+            "than the official archive.",
+        ],
     }
     write_report("auto-makeup-real-speech-report.json", report)
-    return 0 if passed else 1
+    print({"retained": retained, **{k: metrics[k] for k in (
+        "median_candidate_pumping_score", "median_baseline_pumping_score",
+        "median_candidate_inactive_makeup_db",
+        "median_baseline_inactive_makeup_db",
+        "max_candidate_p99_block_runtime_ms")}})
+    return 0 if retained else 1
 
 
 if __name__ == "__main__":

@@ -65,25 +65,13 @@ def evaluate():
 
     platform = jax.devices()[0].platform
     chain = lc.LiveChainConfig(deesser_enabled=True)
+    vad_chain = lc.LiveChainConfig(
+        deesser_enabled=True, gate_mode=lc.gate_ops.VAD_ASSISTED)
     rng = np.random.default_rng(0xF1EE7)
 
-    results = []
-    for fleet in FLEET_SIZES:
-        eng = ServingEngine(ServingConfig(
-            capacity=fleet, suppressor_model="rnnoise", vad_enabled=False,
-            chain=chain))
-        slots = [eng.attach() for _ in range(fleet)]
-
-        def feed(n_blocks):
-            for s in slots:
-                eng.push(s, (0.1 * rng.standard_normal(n_blocks * BLOCK))
-                         .astype(np.float32))
-
-        # ---- fused-scan compute (device-resident: the binding figure) ----
-        # Inputs pre-staged, outputs reduced on device: measures what the
-        # chip does per block. Host audio I/O is measured separately below
-        # — on the tunnelled dev TPU it is bandwidth-bound (~100 MB/s) and
-        # NOT representative of production host<->chip links.
+    def fused_compute_per_block(eng, fleet):
+        """Best-of-N fused-scan chip time per block (inputs device-resident,
+        output reduced on device)."""
         import jax
         import jax.numpy as jnp
 
@@ -111,8 +99,39 @@ def evaluate():
             t0 = time.perf_counter()
             float(compute_only(params, eng._state, xs))
             best = min(best, time.perf_counter() - t0)
-        per_block_s = best / SCAN_SPAN_BLOCKS
+        return best / SCAN_SPAN_BLOCKS, (compute_only, params, xs)
+
+    results = []
+    for fleet in FLEET_SIZES:
+        eng = ServingEngine(ServingConfig(
+            capacity=fleet, suppressor_model="rnnoise", vad_enabled=False,
+            chain=chain))
+        slots = [eng.attach() for _ in range(fleet)]
+
+        def feed(n_blocks):
+            for s in slots:
+                eng.push(s, (0.1 * rng.standard_normal(n_blocks * BLOCK))
+                         .astype(np.float32))
+
+        # ---- fused-scan compute (device-resident: the binding figure) ----
+        # Inputs pre-staged, outputs reduced on device: measures what the
+        # chip does per block. Host audio I/O is measured separately below
+        # — on the tunnelled dev TPU it is bandwidth-bound (~100 MB/s) and
+        # NOT representative of production host<->chip links.
+        per_block_s, (compute_only, params, xs) = fused_compute_per_block(
+            eng, fleet)
         fused_audio_sec_per_sec = fleet * BLOCK_PERIOD_S / per_block_s
+
+        # ---- the same fused sweep with the in-step batched VAD + the
+        # VAD-assisted gate (the flagship gating mode): its fleet-scale
+        # cost is a tracked headline (bench.py secondary line) ----
+        vad_eng = ServingEngine(ServingConfig(
+            capacity=fleet, suppressor_model="rnnoise", vad_enabled=True,
+            chain=vad_chain))
+        for _ in range(fleet):
+            vad_eng.attach()
+        vad_per_block_s, _ = fused_compute_per_block(vad_eng, fleet)
+        del vad_eng
 
         # ---- fused path with host audio I/O (advisory on dev tunnels) ----
         feed(SCAN_SPAN_BLOCKS)
@@ -196,6 +215,11 @@ def evaluate():
             "fused_aggregate_audio_sec_per_sec": fused_audio_sec_per_sec,
             "fused_realtime_ok": per_block_s <= BLOCK_PERIOD_S,
             "fused_per_stream_realtime_margin": BLOCK_PERIOD_S / per_block_s,
+            "vad_on_fused_per_block_seconds": vad_per_block_s,
+            "vad_on_fused_aggregate_audio_sec_per_sec": (
+                fleet * BLOCK_PERIOD_S / vad_per_block_s),
+            "vad_on_fused_realtime_ok": vad_per_block_s <= BLOCK_PERIOD_S,
+            "vad_on_cost_ratio": vad_per_block_s / per_block_s,
             "fused_with_host_io_per_block_seconds": io_per_block_s,
             "host_io_overhead_per_block_seconds": max(
                 0.0, io_per_block_s - per_block_s),
@@ -218,6 +242,7 @@ def evaluate():
         for i in range(len(results) - 1)
     )
     all_realtime = all(r["fused_realtime_ok"] for r in results)
+    vad_all_realtime = all(r["vad_on_fused_realtime_ok"] for r in results)
     device_p99_ok = all(
         r["device_block_latency"]["p99_seconds"] < BLOCK_PERIOD_S
         for r in results if "device_block_latency" in r
@@ -240,12 +265,14 @@ def evaluate():
         "gates": {
             "binding": gates_binding,
             "all_fleets_fused_realtime": all_realtime,
+            "vad_on_all_fleets_fused_realtime": vad_all_realtime,
             "throughput_grows_with_fleet": throughput_grows,
             "device_block_p99_under_period_small_fleets": device_p99_ok,
         },
         "decision": {
             "status": "pass" if (throughput_grows
-                                 and ((all_realtime and device_p99_ok)
+                                 and ((all_realtime and vad_all_realtime
+                                       and device_p99_ok)
                                       or not gates_binding))
             else "fail",
             "summary": (

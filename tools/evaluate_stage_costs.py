@@ -1,0 +1,187 @@
+"""Per-stage cost regression record for the fused serving chain.
+
+VERDICT r2 weak #5: the headline's per-stream realtime margin at fleet
+1024 is thin (~1.4x), and nothing tracked per-stage cost per release, so
+one slow stage regression could silently erode it. This tool measures the
+fused serving step at the headline fleet with stages enabled cumulatively
+(the docs/performance.md ladder, now generated instead of hand-written)
+and GATES each stage's marginal cost against the previous committed report
+within +15 % (regressions fail; improvements always pass and re-baseline).
+
+Binding only on accelerator platforms — CPU hosts can regenerate the
+report structure but their timings are not comparable, so the gate is
+advisory there (same discipline as the serving harness).
+
+Regenerates ``evaluation/stage-cost-report.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from tools._evaluation_common import EVALUATION_DIR, utc_now, write_report  # noqa: E402
+
+BLOCK_PERIOD_S = 480 / 48000.0
+FLEET = 1024
+SPAN_BLOCKS = 100
+REPEATS = 5
+MAX_REGRESSION = 0.15  # +15 % per-stage marginal cost
+
+# Cumulative stage ladder: each row enables one more stage on top of the
+# previous row. "full" must equal bench.py's headline config; "full+vad"
+# is the VAD-on secondary headline.
+LADDER = (
+    ("routing+metering", {}),
+    ("+limiter+true-peak", {"limiter": True}),
+    ("+eq", {"limiter": True, "eq": True}),
+    ("+deesser", {"limiter": True, "eq": True, "deesser": True}),
+    ("+compressor", {"limiter": True, "eq": True, "deesser": True,
+                     "compressor": True}),
+    ("+gate", {"limiter": True, "eq": True, "deesser": True,
+               "compressor": True, "gate": True}),
+    ("+rnnoise (full chain)", {"limiter": True, "eq": True, "deesser": True,
+                               "compressor": True, "gate": True,
+                               "suppressor": True}),
+    ("+in-step vad", {"limiter": True, "eq": True, "deesser": True,
+                      "compressor": True, "gate": True, "suppressor": True,
+                      "vad": True}),
+)
+
+
+def _measure(stages: dict) -> float:
+    """Best-of-N fused per-block seconds for one ladder row."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audioforge_tpu.ops import gate as gate_ops
+    from audioforge_tpu.runtime import live_chain as lc
+    from audioforge_tpu.runtime import serving as srv
+    from audioforge_tpu.runtime.serving import BLOCK, ServingConfig, ServingEngine
+
+    chain = lc.LiveChainConfig(
+        gate_enabled=stages.get("gate", False),
+        gate_mode=(gate_ops.VAD_ASSISTED if stages.get("vad")
+                   else gate_ops.THRESHOLD_ONLY),
+        deesser_enabled=stages.get("deesser", False),
+        eq_enabled=stages.get("eq", False),
+        compressor_enabled=stages.get("compressor", False),
+        limiter_enabled=stages.get("limiter", False),
+    )
+    eng = ServingEngine(ServingConfig(
+        capacity=FLEET,
+        suppressor_model="rnnoise" if stages.get("suppressor") else None,
+        vad_enabled=stages.get("vad", False),
+        chain=chain,
+    ))
+    rng = np.random.default_rng(0x57A6E)
+    params = eng._device_params()
+    active = jnp.ones((FLEET,), jnp.bool_)
+    reset = jnp.zeros((FLEET,), jnp.bool_)
+    vp = jnp.zeros((FLEET,), jnp.float32)
+    va = jnp.zeros((FLEET,), jnp.bool_)
+    xs = jnp.asarray(
+        (0.1 * rng.standard_normal((SPAN_BLOCKS, FLEET, BLOCK)))
+        .astype(np.float32))
+
+    @jax.jit
+    def compute_only(params, state, xs):
+        _, ys, _ = srv._serving_scan(eng.config, params, state, eng._fresh,
+                                     xs, active, reset, vp, va)
+        return jnp.sum(ys)
+
+    float(compute_only(params, eng._state, xs))  # compile
+    best = 1e9
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(compute_only(params, eng._state, xs))
+        best = min(best, time.perf_counter() - t0)
+    return best / SPAN_BLOCKS
+
+
+def evaluate() -> dict:
+    import jax
+
+    platform = jax.devices()[0].platform
+    binding = platform != "cpu"
+
+    rows = []
+    prev_total = 0.0
+    for name, stages in LADDER:
+        per_block = _measure(stages)
+        rows.append({
+            "stage": name,
+            "per_block_ms": round(per_block * 1000.0, 4),
+            "marginal_ms": round((per_block - prev_total) * 1000.0, 4),
+        })
+        prev_total = per_block
+
+    full = next(r for r in rows if "full chain" in r["stage"])
+    margin = BLOCK_PERIOD_S * 1000.0 / full["per_block_ms"]
+
+    # regression gate vs the previous committed report (same platform only)
+    prev_path = EVALUATION_DIR / "stage-cost-report.json"
+    regressions = []
+    baseline_used = None
+    if prev_path.exists():
+        prev = json.loads(prev_path.read_text())
+        if prev.get("platform") == platform:
+            baseline_used = prev.get("generated_at_utc")
+            prev_rows = {r["stage"]: r for r in prev.get("stages", [])}
+            for row in rows:
+                old = prev_rows.get(row["stage"])
+                if not old or old["per_block_ms"] <= 0:
+                    continue
+                ratio = row["per_block_ms"] / old["per_block_ms"]
+                if ratio > 1.0 + MAX_REGRESSION:
+                    regressions.append({
+                        "stage": row["stage"],
+                        "previous_ms": old["per_block_ms"],
+                        "current_ms": row["per_block_ms"],
+                        "ratio": round(ratio, 3),
+                    })
+
+    passed = not (binding and regressions)
+    return {
+        "schema_version": 1,
+        "report": "stage-cost",
+        "generated_at_utc": utc_now(),
+        "platform": platform,
+        "configuration": {
+            "fleet": FLEET,
+            "span_blocks": SPAN_BLOCKS,
+            "repeats": REPEATS,
+            "ladder": "cumulative; marginal = row minus previous row",
+        },
+        "stages": rows,
+        "full_chain_per_stream_realtime_margin": round(margin, 3),
+        "gates": {
+            "binding": binding,
+            "max_per_stage_regression": MAX_REGRESSION,
+            "baseline_report": baseline_used,
+            "regressions": regressions,
+            "passed": passed,
+        },
+    }
+
+
+def main() -> int:
+    report = evaluate()
+    write_report("stage-cost-report.json", report)
+    print(json.dumps({
+        "stages": {r["stage"]: r["per_block_ms"] for r in report["stages"]},
+        "margin": report["full_chain_per_stream_realtime_margin"],
+        "passed": report["gates"]["passed"],
+    }))
+    return 0 if report["gates"]["passed"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

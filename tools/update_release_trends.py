@@ -100,7 +100,9 @@ def _runtime_metrics() -> dict:
         return {"status": "not_measured", "reason": "no hardware report"}
     report = json.loads(health.read_text())
     counters = {
-        name: report.get("metrics", {}).get("host_health_advisory", {}).get(name)
+        name: report.get("metrics", {}).get(
+            "host_health", report.get("metrics", {}).get(
+                "host_health_advisory", {})).get(name)
         for name in FAILURE_COUNTERS
     }
     return {"status": "measured", "value": {"failure_counters": counters}}
