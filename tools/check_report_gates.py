@@ -1,0 +1,105 @@
+"""CI guard: committed evaluation reports must hold their binding gates.
+
+VERDICT r2 asked for falsifiable gates ("gates that would actually fail a
+bad checkpoint") and for the stage-cost regression record to be CI-binding.
+This guard makes every binding report gate enforceable at CI time: a commit
+that regenerates a report into a failing state (or deletes one) fails the
+`guards` job (`.github/workflows/ci.yml`).
+
+Reports deliberately allowed to record "fail" are NOT listed here — e.g.
+`cross-take-auto-eq-report.json`, whose failing retention gate is itself
+the committed decision (the candidate stays evaluation-only, mirroring the
+reference's `cross-take` retention study).
+
+Run: ``python tools/check_report_gates.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+_REPO_ROOT = Path(__file__).resolve().parents[1]
+EVALUATION_DIR = _REPO_ROOT / "evaluation"
+
+
+def _gates_passed(report: dict) -> bool:
+    gates = report.get("gates")
+    return isinstance(gates, dict) and gates.get("passed") is True
+
+
+def _gate_bools_true(report: dict) -> bool:
+    gates = report.get("gates")
+    if not isinstance(gates, dict):
+        return False
+    bools = [v for v in gates.values() if isinstance(v, bool)]
+    return bool(bools) and all(bools)
+
+
+def _decision_status_pass(report: dict) -> bool:
+    return report.get("decision", {}).get("status") == "pass"
+
+
+def _hardware_pass(report: dict) -> bool:
+    return report.get("decision", {}).get("hardware_validation") == "pass"
+
+
+def _parity_pass(report: dict) -> bool:
+    return report.get("decision", {}).get("status") == "pass"
+
+
+# report filename -> (predicate, human description of the binding gate)
+BINDING = {
+    "converted-weight-parity-report.json": (
+        _parity_pass, "all model discrimination/conversion contracts pass"),
+    "rnnoise-training-report.json": (
+        _gates_passed, "trained RNNoise holds median/per-pair SI-SDR gates"),
+    "dfn3-standard-training-report.json": (
+        _gates_passed, "trained DFN3 (standard) holds SI-SDR gates"),
+    "dfn3-training-report.json": (
+        _gates_passed, "trained DFN3 (LL) holds SI-SDR gates"),
+    "silero-training-report.json": (
+        _gates_passed, "trained Silero holds AUC gates"),
+    "stage-cost-report.json": (
+        _gates_passed, "no per-stage cost regression beyond +15%"),
+    "serving-harness-report.json": (
+        _decision_status_pass, "fleet serving sustains realtime per stream"),
+    "fleet-sharding-report.json": (
+        _decision_status_pass, "sharded sweep parity on the device mesh"),
+    "hardware-validation-report.json": (
+        _hardware_pass, "throughput/self-test/stress/host-health gates"),
+    "auto-makeup-real-speech-report.json": (
+        _gate_bools_true, "candidate-vs-fallback auto-makeup gates"),
+    # NOT binding: vad-model-selection-report.json and
+    # cross-take-auto-eq-report.json are retention studies whose committed
+    # "fail"/"reject" is itself the decision (candidate stays out of the
+    # product), mirroring the reference's retention-study discipline.
+}
+
+
+def main() -> int:
+    problems: list[str] = []
+    for name, (predicate, description) in sorted(BINDING.items()):
+        path = EVALUATION_DIR / name
+        if not path.exists():
+            problems.append(f"{name}: missing (binding: {description})")
+            continue
+        try:
+            report = json.loads(path.read_text())
+        except json.JSONDecodeError as exc:
+            problems.append(f"{name}: invalid JSON ({exc})")
+            continue
+        if not predicate(report):
+            problems.append(f"{name}: binding gate FAILING ({description})")
+    if problems:
+        print("report gate check FAILED:")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print(f"report gate check passed ({len(BINDING)} binding reports)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -51,6 +51,17 @@ TILT_RANGE = (0.55, 1.5)
 RATE_RANGE = (1.6, 4.2)
 SNR_GRID_DB = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
 SPEECH_RMS_RANGE_DBFS = (-32.0, -14.0)
+
+# Curriculum emphasis (r3, same rationale as train_rnnoise_weights):
+# babble — speech-shaped noise built from the speech generator itself —
+# is the only category whose pairs land below the 0 dB per-pair floor;
+# oversample it and the deployment SNR regime during training. Held-out
+# evaluation stays on the UNWEIGHTED distribution.
+CATEGORY_WEIGHTS = {
+    "white": 0.13, "pink": 0.13, "hum": 0.13,
+    "keyboard": 0.13, "engine": 0.13, "babble": 0.35,
+}
+SNR_WEIGHTS = (0.25, 0.25, 0.20, 0.15, 0.10, 0.05)  # aligned to SNR_GRID_DB
 TRAIN_ATTEN_LIM_DB = 100.0  # graph maximum: the net learns the suppression
 MAG_GAMMA = 0.6  # DeepFilterNet compressed-magnitude exponent
 WAVE_WEIGHT = 0.5
@@ -73,10 +84,11 @@ def _sequence(rng, seconds: float, kind: str):
         clean[: speech.size] = speech * (level / rms)
     noisy = clean.copy()
     if kind != "clean":
-        category = NOISE_CATEGORIES[rng.integers(len(NOISE_CATEGORIES))]
+        weights = [CATEGORY_WEIGHTS[c] for c in NOISE_CATEGORIES]
+        category = str(rng.choice(NOISE_CATEGORIES, p=weights))
         noise = _noise(category, rng, n)
         if kind == "mix" and clean.any():
-            snr_db = float(SNR_GRID_DB[rng.integers(len(SNR_GRID_DB))])
+            snr_db = float(rng.choice(SNR_GRID_DB, p=SNR_WEIGHTS))
             speech_rms = float(np.sqrt(np.mean(np.square(clean)))) or 1e-4
             gain = speech_rms / (10.0 ** (snr_db / 20.0))
         else:
@@ -186,25 +198,43 @@ def _si_sdr(reference, estimate):
                            / max(np.dot(err, err), 1e-12))
 
 
+# held-out gate mixes live in the deployment SNR regime (same rationale as
+# train_rnnoise_weights.HELDOUT_SNR_GRID_DB and the fullband corpus builder:
+# the synthesis path caps output SI-SDR at ~15 dB even with oracle gains, so
+# high-SNR pairs measure the cap, not suppression quality)
+HELDOUT_SNR_GRID_DB = (5.0, 0.0, -5.0)
+
+
 def heldout_si_sdr(params, n_pairs: int, seed: int, low_latency=True):
     """Held-out SI-SDR improvement through the FULL staging processor at
     the production runtime config (30 dB attenuation limit)."""
+    global SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS
     from audioforge_tpu.models import dfn3
 
     rng = np.random.default_rng(seed)
     rows = []
-    for _ in range(n_pairs):
-        clean, noisy = _sequence(rng, 3.0, "mix")
-        n = min(clean.size, noisy.size)
-        state = dfn3.processor_init(params, low_latency=low_latency)
-        state, _ = dfn3.processor_push(state, noisy[:n])
-        state, _ = dfn3.processor_process(state)
-        state, out = dfn3.processor_pop(state, n)
-        lat = dfn3.latency_samples(low_latency)
-        aligned = np.asarray(out)[lat:]
-        m = min(aligned.size, n - lat)
-        rows.append(float(_si_sdr(clean[:m], aligned[:m])
-                          - _si_sdr(clean[:m], noisy[:m])))
+    saved = (SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS)
+    # heldout measures the UNWEIGHTED deployment distribution
+    SNR_GRID_DB = HELDOUT_SNR_GRID_DB
+    SNR_WEIGHTS = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
+                        for _ in HELDOUT_SNR_GRID_DB)
+    CATEGORY_WEIGHTS = {c: 1.0 / len(NOISE_CATEGORIES)
+                        for c in NOISE_CATEGORIES}
+    try:
+        for _ in range(n_pairs):
+            clean, noisy = _sequence(rng, 3.0, "mix")
+            n = min(clean.size, noisy.size)
+            state = dfn3.processor_init(params, low_latency=low_latency)
+            state, _ = dfn3.processor_push(state, noisy[:n])
+            state, _ = dfn3.processor_process(state)
+            state, out = dfn3.processor_pop(state, n)
+            lat = dfn3.latency_samples(low_latency)
+            aligned = np.asarray(out)[lat:]
+            m = min(aligned.size, n - lat)
+            rows.append(float(_si_sdr(clean[:m], aligned[:m])
+                              - _si_sdr(clean[:m], noisy[:m])))
+    finally:
+        SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS = saved
     return rows
 
 

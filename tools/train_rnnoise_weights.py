@@ -57,6 +57,18 @@ RATE_RANGE = (1.6, 4.2)
 SNR_GRID_DB = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
 SPEECH_RMS_RANGE_DBFS = (-34.0, -14.0)
 
+# Curriculum emphasis (r3): babble — speech-shaped noise built from the
+# speech generator itself — is the one category where the band-gain model
+# lands below the 0 dB per-pair floor, while ORACLE band gains still give
+# +7.4 dB on babble at -5 dB SNR (measured r3), i.e. the target is
+# learnable, not architecture-capped. Oversample babble and the deployment
+# SNR regime so the GRU sees enough of the hard case to track it.
+CATEGORY_WEIGHTS = {
+    "white": 0.13, "pink": 0.13, "hum": 0.13,
+    "keyboard": 0.13, "engine": 0.13, "babble": 0.35,
+}
+SNR_WEIGHTS = (0.25, 0.25, 0.20, 0.15, 0.10, 0.05)  # aligned to SNR_GRID_DB
+
 ES_EX_MASK_FLOOR = 5e-2  # denoise.c: both tiny -> band untrained
 GAIN_EPS = 1e-3
 VAD_LOSS_WEIGHT = 0.5
@@ -93,16 +105,17 @@ def _sequence(rng, seconds: float, kind: str):
             active[lo:min(hi, n)] = True
     noisy = clean.copy()
     if kind != "clean":
-        cats = [rng.choice(NOISE_CATEGORIES)]
+        weights = [CATEGORY_WEIGHTS[c] for c in NOISE_CATEGORIES]
+        cats = [rng.choice(NOISE_CATEGORIES, p=weights)]
         if rng.random() < 0.3:  # occasional two-source mixture
-            cats.append(rng.choice(NOISE_CATEGORIES))
+            cats.append(rng.choice(NOISE_CATEGORIES, p=weights))
         noise = np.zeros(n, np.float32)
         for c in cats:
             noise += _noise(str(c), rng, n) / len(cats)
         if kind == "mix":
             speech_rms = np.sqrt(np.mean(clean[active] ** 2)) if active.any() \
                 else 10.0 ** (-22.0 / 20.0)
-            snr = float(rng.choice(SNR_GRID_DB))
+            snr = float(rng.choice(SNR_GRID_DB, p=SNR_WEIGHTS))
             noise_rms = speech_rms / (10.0 ** (snr / 20.0))
         else:  # noise-only: realistic ambient levels
             noise_rms = 10.0 ** (rng.uniform(-55.0, -25.0) / 20.0)
@@ -334,19 +347,26 @@ HELDOUT_SNR_GRID_DB = (5.0, 0.0, -5.0)
 def heldout_si_sdr(params, n_pairs: int, seed: int):
     """SI-SDR improvement on fresh held-out mixtures through the FULL
     staging processor (the same path the parity evaluator drives)."""
-    global SNR_GRID_DB
+    global SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS
     from audioforge_tpu.models import rnnoise as rn
 
     rng = np.random.default_rng(seed)
     rows = []
-    saved_grid = SNR_GRID_DB
+    saved = (SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS)
+    # heldout measures the UNWEIGHTED deployment distribution: uniform
+    # noise categories, deployment SNR regime (the curriculum weights are
+    # a training device, not a capability claim)
     SNR_GRID_DB = HELDOUT_SNR_GRID_DB
+    SNR_WEIGHTS = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
+                        for _ in HELDOUT_SNR_GRID_DB)
+    CATEGORY_WEIGHTS = {c: 1.0 / len(NOISE_CATEGORIES)
+                        for c in NOISE_CATEGORIES}
     try:
         for _ in range(n_pairs):
             clean, noisy, _ = _sequence(rng, 3.0, "mix")
             rows.append(_heldout_pair(params, rn, clean, noisy))
     finally:
-        SNR_GRID_DB = saved_grid
+        SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS = saved
     return rows
 
 
@@ -365,9 +385,9 @@ def _heldout_pair(params, rn, clean, noisy) -> float:
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--seqs", type=int, default=96)
+    parser.add_argument("--seqs", type=int, default=144)
     parser.add_argument("--seconds", type=float, default=3.0)
-    parser.add_argument("--steps", type=int, default=2500)
+    parser.add_argument("--steps", type=int, default=6000)
     parser.add_argument("--batch", type=int, default=24)
     parser.add_argument("--lr", type=float, default=2e-3)
     parser.add_argument("--seed", type=int, default=SEED)
