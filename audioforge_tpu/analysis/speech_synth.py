@@ -162,6 +162,14 @@ def _syllable_plan(rng, seconds: float, profile: SpeechProfile):
             plan.append((t, t + dur, vowel, onset, coda))
             t += dur
         t += float(rng.uniform(0.12, 0.55))  # inter-word pause
+    if not plan and seconds > 0.1:
+        # Sub-second clips can fall entirely inside the lead-in/tail
+        # margins above; guarantee one (possibly truncated) nucleus so
+        # short requests are never silent (unit-RMS contract).
+        dur = min(max(seconds - 0.04, 0.06), 0.5)
+        t0 = max((seconds - dur) * 0.5, 0.0)
+        vowel = vowel_names[int(rng.integers(len(vowel_names)))]
+        plan.append((t0, t0 + dur, vowel, None, None))
     return plan
 
 

@@ -68,6 +68,18 @@ def engine_init(model: str = "rnnoise", strength: float = 1.0,
     if model.startswith("deepfilter") and not deepfilter_enabled():
         available = False
         error = "DeepFilter runtime not enabled (set AUDIOFORGE_ENABLE_DEEPFILTER=1)"
+    elif model.startswith("deepfilter") and dfn_params is None and \
+            dfn3.weights_source(model == "deepfilter-ll") == "seeded":
+        # No trained/converted archive resolved for this latency variant:
+        # refuse to run seeded structural weights (they emit garbage gains)
+        # and fall back to the latency-preserving passthrough, mirroring
+        # the reference's backend-failed semantics
+        # (`noise_suppressor.rs:216-261`). Callers that really want the
+        # structural graph (tests, training) pass ``dfn_params`` explicitly.
+        available = False
+        error = (f"no trained or converted weights for {model!r} "
+                 "(seeded structural weights refused; supply "
+                 "models/dfn3_ll.npz / dfn3.npz or DEEPFILTER_MODEL_PATH)")
     if model == "rnnoise":
         proc = rnnoise.processor_init(rnnoise_params, strength)
         latency = rnnoise.LATENCY_SAMPLES

@@ -582,6 +582,31 @@ class TestDeepFilterOptIn:
         assert out.size == 960
         assert np.all(out[: eng["latency_samples"]] == 0.0)
 
+    def test_engine_refuses_seeded_weights(self, monkeypatch):
+        """A DeepFilter variant whose archive is missing must NOT silently
+        run seeded structural weights: it reports backend unavailable and
+        passes audio through at the model latency, mirroring the
+        reference's backend-failed semantics
+        (`noise_suppressor.rs:216-261`)."""
+        from audioforge_tpu.models import dfn3
+        from audioforge_tpu.models import suppressor as supp
+
+        monkeypatch.setenv("AUDIOFORGE_ENABLE_DEEPFILTER", "1")
+        monkeypatch.setattr(dfn3, "weights_source", lambda ll=True: "seeded")
+        eng = supp.engine_init("deepfilter-ll")
+        assert eng["backend_available"] is False
+        assert "seeded" in (eng["error"] or "")
+        x = np.full(960, 0.25, np.float32)
+        eng, _ = supp.engine_push(eng, x)
+        eng, _ = supp.engine_process(eng)
+        eng, out = supp.engine_pop(eng, 960)
+        lat = eng["latency_samples"]
+        assert np.all(out[:lat] == 0.0)
+        np.testing.assert_allclose(out[lat:], x[: out.size - lat], atol=1e-6)
+        # explicit params opt back in to the structural graph (training path)
+        eng2 = supp.engine_init("deepfilter-ll", dfn_params=dfn3.init_params())
+        assert eng2["backend_available"] is True
+
     def test_engine_processes_when_enabled(self, monkeypatch, rng):
         from audioforge_tpu.models import suppressor as supp
 

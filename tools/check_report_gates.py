@@ -45,14 +45,10 @@ def _hardware_pass(report: dict) -> bool:
     return report.get("decision", {}).get("hardware_validation") == "pass"
 
 
-def _parity_pass(report: dict) -> bool:
-    return report.get("decision", {}).get("status") == "pass"
-
-
 # report filename -> (predicate, human description of the binding gate)
 BINDING = {
     "converted-weight-parity-report.json": (
-        _parity_pass, "all model discrimination/conversion contracts pass"),
+        _decision_status_pass, "all model discrimination/conversion contracts pass"),
     "rnnoise-training-report.json": (
         _gates_passed, "trained RNNoise holds median/per-pair SI-SDR gates"),
     "dfn3-standard-training-report.json": (

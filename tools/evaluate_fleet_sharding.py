@@ -11,6 +11,10 @@ Validates the multi-chip recipe (``docs/multichip_fleet.md``,
 - **full-search parity**: `_calibrate_compressor` (the Auto Voice Setup
   68-candidate bounded search) selects identical parameters with and
   without the mesh;
+- **serving parity**: the production fused serving step (RNNoise +
+  de-esser + in-step VAD-assisted gating, the exact config bench.py and
+  the multichip dryrun use) produces numerically matching audio on the
+  8-device mesh vs single-device execution;
 - **wall-clock**: advisory on the CPU mesh (all virtual devices share the
   host's cores, so no speedup is expected here — the recipe's scaling
   claim is validated by structure: GSPMD confirms a collective-free
@@ -47,6 +51,48 @@ import numpy as np  # noqa: E402
 from tools._evaluation_common import write_report  # noqa: E402
 
 CANDIDATES = 29  # deliberately not a multiple of 8: exercises padding
+SERVING_STREAMS = 16  # 2 streams/device on the 8-device mesh
+SERVING_BLOCKS = 25   # 250 ms per stream
+# float32 round-off budget: GSPMD partitioning may re-associate reductions
+# inside the fused step; audio samples are O(1), so 1e-5 absolute is ~100x
+# ULP headroom while still catching any semantic divergence
+SERVING_TOLERANCE = 1e-5
+
+
+def _serving_outputs(sharding):
+    """Run the production fused serving config (RNNoise + de-esser +
+    in-step VAD-assisted gating) for SERVING_BLOCKS and return the
+    per-stream output audio ``[N, blocks*BLOCK]``."""
+    from audioforge_tpu.ops import gate as gate_ops
+    from audioforge_tpu.runtime import live_chain as lc
+    from audioforge_tpu.runtime.serving import (
+        BLOCK,
+        ServingConfig,
+        ServingEngine,
+    )
+
+    eng = ServingEngine(
+        ServingConfig(
+            capacity=SERVING_STREAMS,
+            suppressor_model="rnnoise",
+            vad_enabled=True,
+            chain=lc.LiveChainConfig(
+                deesser_enabled=True,
+                gate_mode=gate_ops.VAD_ASSISTED,
+                auto_threshold_enabled=True,
+            ),
+        ),
+        sharding=sharding,
+    )
+    rng = np.random.default_rng(0xFA111)
+    audio = (0.1 * rng.standard_normal(
+        (SERVING_STREAMS, SERVING_BLOCKS * BLOCK))).astype(np.float32)
+    sinks = [[] for _ in range(SERVING_STREAMS)]
+    for i in range(SERVING_STREAMS):
+        slot = eng.attach(sink=sinks[i].append)
+        eng.push(slot, audio[i])
+    eng.run_blocks(SERVING_BLOCKS)
+    return np.stack([np.concatenate(s) for s in sinks])
 
 
 def _speech(seconds=2.0, fs=48000.0):
@@ -122,7 +168,18 @@ def evaluate():
         for k in search_keys
     )
 
-    status = "pass" if (parity_ok and search_parity) else "fail"
+    # production fused serving step: single-device vs 8-device mesh
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    plain_audio = _serving_outputs(None)
+    mesh_audio = _serving_outputs(
+        NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])))
+    serving_diff = float(np.max(np.abs(plain_audio - mesh_audio)))
+    serving_parity = (plain_audio.shape == mesh_audio.shape
+                      and serving_diff < SERVING_TOLERANCE)
+
+    status = ("pass" if (parity_ok and search_parity and serving_parity)
+              else "fail")
     return {
         "schema_version": 1,
         "report": "fleet-sharding",
@@ -151,16 +208,28 @@ def evaluate():
                 "measured speedup requires real chips"
             ),
         },
+        "serving_parity": {
+            "config": ("rnnoise + de-esser + in-step VAD-assisted gating "
+                       "(the bench.py production serving config)"),
+            "streams": SERVING_STREAMS,
+            "blocks": SERVING_BLOCKS,
+            "tolerance_max_abs_diff": SERVING_TOLERANCE,
+            "max_abs_diff": serving_diff,
+            "passed": serving_parity,
+        },
         "gates": {
             "sweep_parity": parity_ok,
             "search_selection_parity": search_parity,
+            "serving_parity": serving_parity,
         },
         "decision": {
             "status": status,
             "summary": (
                 "candidate-axis fleet sharding is semantics-preserving: "
                 f"sweep parity {worst:.2e}, search selects identical "
-                "parameters on the 8-device mesh"
+                "parameters, and the production fused serving step matches "
+                f"single-device audio within {serving_diff:.2e} on the "
+                "8-device mesh"
                 if status == "pass" else "FLEET PARITY FAILED"
             ),
         },

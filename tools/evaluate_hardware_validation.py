@@ -100,24 +100,48 @@ def main() -> int:
         ),
     }
 
-    # binding: sustained host health (zero-tolerance realtime pacing)
+    # binding: sustained host health (zero-tolerance realtime pacing).
+    # The reference's release bar is one clean 30-minute zero-drop run
+    # (`python/tools/health_check.py:18-34`,
+    # `evaluation/hardware-validation-v1.10.1-published.json`); a skipped
+    # or sub-30-minute health run can therefore never produce a "pass"
+    # decision — the report records it, but the decision is "fail".
     health = {"skipped": True, "passed": False, "binding": False}
     if not args.skip_health:
         h_run, h_out = _run(
             [sys.executable, "tools/health_check.py", "--duration",
              str(args.health_duration), "--warmup", "5",
-             "--host-block-multiple", str(args.host_block_multiple)],
+             "--host-block-multiple", str(args.host_block_multiple),
+             "--json"],
             timeout=args.health_duration + 600,
         )
+        summary_json = None
+        for line in h_out.splitlines():
+            if line.startswith("{"):
+                try:
+                    summary_json = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
         health = {
             "skipped": False,
             "passed": h_run["exit_code"] == 0,
-            # the reference's release bar is one clean 30-minute run
             "binding": args.health_duration >= 1800.0,
             "duration_seconds": args.health_duration,
             "host_block_multiple": args.host_block_multiple,
             "exit_code": h_run["exit_code"],
             "summary": h_run["stdout_tail"],
+            # honest end-to-end engine latency at the configuration that
+            # actually passes on this host, stated next to the reference's
+            # published figure (Zen 4 release bundle, 38.44 ms)
+            "engine_latency_ms": (summary_json or {}).get(
+                "engine_latency_ms"),
+            "reference_engine_latency_ms": 38.44,
+            "max_input_callback_age_ms": (summary_json or {}).get(
+                "max_input_callback_age_ms"),
+            "max_output_callback_age_ms": (summary_json or {}).get(
+                "max_output_callback_age_ms"),
+            "dsp_time_smoothed_ms": (summary_json or {}).get(
+                "dsp_time_smoothed_ms"),
         }
 
     gates = {
@@ -134,7 +158,10 @@ def main() -> int:
         >= gates["self_test_min_confidence"]
         and stress["bounded"]
         and stress["active"]
-        and (health["skipped"] or health["passed"])
+        # host health is a binding release gate: it must have run for the
+        # full 30-minute zero-tolerance duration AND passed
+        and health["passed"]
+        and health["binding"]
     )
 
     report = {

@@ -28,7 +28,9 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 SCAN_DIRS = ("audioforge_tpu", "tools", "native", "tests")
 
 PY_RULES = (
-    ("python.dynamic-exec", re.compile(r"\b(?:eval|exec)\s*\(")),
+    # `(?<![\w.])` excludes attribute calls like torch's `module.eval()`,
+    # which are not dynamic execution.
+    ("python.dynamic-exec", re.compile(r"(?<![\w.])(?:eval|exec)\s*\(")),
     ("python.shell-true", re.compile(r"subprocess\.[A-Za-z_]+\([^)]*shell\s*=\s*True")),
     ("python.os-system", re.compile(r"\bos\.system\s*\(")),
     ("python.pickle-load", re.compile(r"\bpickle\.loads?\s*\(")),

@@ -67,8 +67,16 @@ MAG_GAMMA = 0.6  # DeepFilterNet compressed-magnitude exponent
 WAVE_WEIGHT = 0.5
 
 
-def _sequence(rng, seconds: float, kind: str):
-    """One 48 kHz sequence: (clean, noisy)."""
+def _sequence(rng, seconds: float, kind: str, *,
+              snr_grid=SNR_GRID_DB, snr_weights=SNR_WEIGHTS,
+              category_weights=None):
+    """One 48 kHz sequence: (clean, noisy).
+
+    The SNR/category distributions default to the training curriculum;
+    held-out evaluation passes the unweighted deployment distribution
+    explicitly (no module-global mutation)."""
+    if category_weights is None:
+        category_weights = CATEGORY_WEIGHTS
     n = int(seconds * SAMPLE_RATE)
     clean = np.zeros(n, np.float32)
     if kind != "noise":
@@ -84,11 +92,11 @@ def _sequence(rng, seconds: float, kind: str):
         clean[: speech.size] = speech * (level / rms)
     noisy = clean.copy()
     if kind != "clean":
-        weights = [CATEGORY_WEIGHTS[c] for c in NOISE_CATEGORIES]
+        weights = [category_weights[c] for c in NOISE_CATEGORIES]
         category = str(rng.choice(NOISE_CATEGORIES, p=weights))
         noise = _noise(category, rng, n)
         if kind == "mix" and clean.any():
-            snr_db = float(rng.choice(SNR_GRID_DB, p=SNR_WEIGHTS))
+            snr_db = float(rng.choice(snr_grid, p=snr_weights))
             speech_rms = float(np.sqrt(np.mean(np.square(clean)))) or 1e-4
             gain = speech_rms / (10.0 ** (snr_db / 20.0))
         else:
@@ -207,34 +215,29 @@ HELDOUT_SNR_GRID_DB = (5.0, 0.0, -5.0)
 
 def heldout_si_sdr(params, n_pairs: int, seed: int, low_latency=True):
     """Held-out SI-SDR improvement through the FULL staging processor at
-    the production runtime config (30 dB attenuation limit)."""
-    global SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS
+    the production runtime config (30 dB attenuation limit). Heldout
+    measures the UNWEIGHTED deployment distribution."""
     from audioforge_tpu.models import dfn3
 
     rng = np.random.default_rng(seed)
-    rows = []
-    saved = (SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS)
-    # heldout measures the UNWEIGHTED deployment distribution
-    SNR_GRID_DB = HELDOUT_SNR_GRID_DB
-    SNR_WEIGHTS = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
+    uniform_snr = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
                         for _ in HELDOUT_SNR_GRID_DB)
-    CATEGORY_WEIGHTS = {c: 1.0 / len(NOISE_CATEGORIES)
-                        for c in NOISE_CATEGORIES}
-    try:
-        for _ in range(n_pairs):
-            clean, noisy = _sequence(rng, 3.0, "mix")
-            n = min(clean.size, noisy.size)
-            state = dfn3.processor_init(params, low_latency=low_latency)
-            state, _ = dfn3.processor_push(state, noisy[:n])
-            state, _ = dfn3.processor_process(state)
-            state, out = dfn3.processor_pop(state, n)
-            lat = dfn3.latency_samples(low_latency)
-            aligned = np.asarray(out)[lat:]
-            m = min(aligned.size, n - lat)
-            rows.append(float(_si_sdr(clean[:m], aligned[:m])
-                              - _si_sdr(clean[:m], noisy[:m])))
-    finally:
-        SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS = saved
+    uniform_cats = {c: 1.0 / len(NOISE_CATEGORIES) for c in NOISE_CATEGORIES}
+    rows = []
+    for _ in range(n_pairs):
+        clean, noisy = _sequence(
+            rng, 3.0, "mix", snr_grid=HELDOUT_SNR_GRID_DB,
+            snr_weights=uniform_snr, category_weights=uniform_cats)
+        n = min(clean.size, noisy.size)
+        state = dfn3.processor_init(params, low_latency=low_latency)
+        state, _ = dfn3.processor_push(state, noisy[:n])
+        state, _ = dfn3.processor_process(state)
+        state, out = dfn3.processor_pop(state, n)
+        lat = dfn3.latency_samples(low_latency)
+        aligned = np.asarray(out)[lat:]
+        m = min(aligned.size, n - lat)
+        rows.append(float(_si_sdr(clean[:m], aligned[:m])
+                          - _si_sdr(clean[:m], noisy[:m])))
     return rows
 
 

@@ -80,12 +80,19 @@ QUARTIC_WEIGHT = 10.0
 # ---------------------------------------------------------------------------
 
 
-def _sequence(rng, seconds: float, kind: str):
+def _sequence(rng, seconds: float, kind: str, *,
+              snr_grid=SNR_GRID_DB, snr_weights=SNR_WEIGHTS,
+              category_weights=None):
     """One training sequence at 48 kHz: returns (clean, noisy, active).
 
     ``kind``: "mix" (speech+noise at a drawn SNR), "noise" (noise only),
     "clean" (speech only). ``active`` is the per-sample speech label.
+    The SNR/category distributions default to the training curriculum;
+    held-out evaluation passes the unweighted deployment distribution
+    explicitly (no module-global mutation).
     """
+    if category_weights is None:
+        category_weights = CATEGORY_WEIGHTS
     n = int(seconds * SAMPLE_RATE)
     clean = np.zeros(n, np.float32)
     active = np.zeros(n, bool)
@@ -105,7 +112,7 @@ def _sequence(rng, seconds: float, kind: str):
             active[lo:min(hi, n)] = True
     noisy = clean.copy()
     if kind != "clean":
-        weights = [CATEGORY_WEIGHTS[c] for c in NOISE_CATEGORIES]
+        weights = [category_weights[c] for c in NOISE_CATEGORIES]
         cats = [rng.choice(NOISE_CATEGORIES, p=weights)]
         if rng.random() < 0.3:  # occasional two-source mixture
             cats.append(rng.choice(NOISE_CATEGORIES, p=weights))
@@ -115,7 +122,7 @@ def _sequence(rng, seconds: float, kind: str):
         if kind == "mix":
             speech_rms = np.sqrt(np.mean(clean[active] ** 2)) if active.any() \
                 else 10.0 ** (-22.0 / 20.0)
-            snr = float(rng.choice(SNR_GRID_DB, p=SNR_WEIGHTS))
+            snr = float(rng.choice(snr_grid, p=snr_weights))
             noise_rms = speech_rms / (10.0 ** (snr / 20.0))
         else:  # noise-only: realistic ambient levels
             noise_rms = 10.0 ** (rng.uniform(-55.0, -25.0) / 20.0)
@@ -346,27 +353,23 @@ HELDOUT_SNR_GRID_DB = (5.0, 0.0, -5.0)
 
 def heldout_si_sdr(params, n_pairs: int, seed: int):
     """SI-SDR improvement on fresh held-out mixtures through the FULL
-    staging processor (the same path the parity evaluator drives)."""
-    global SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS
+    staging processor (the same path the parity evaluator drives).
+
+    Heldout measures the UNWEIGHTED deployment distribution: uniform
+    noise categories, deployment SNR regime (the curriculum weights are
+    a training device, not a capability claim)."""
     from audioforge_tpu.models import rnnoise as rn
 
     rng = np.random.default_rng(seed)
-    rows = []
-    saved = (SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS)
-    # heldout measures the UNWEIGHTED deployment distribution: uniform
-    # noise categories, deployment SNR regime (the curriculum weights are
-    # a training device, not a capability claim)
-    SNR_GRID_DB = HELDOUT_SNR_GRID_DB
-    SNR_WEIGHTS = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
+    uniform_snr = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
                         for _ in HELDOUT_SNR_GRID_DB)
-    CATEGORY_WEIGHTS = {c: 1.0 / len(NOISE_CATEGORIES)
-                        for c in NOISE_CATEGORIES}
-    try:
-        for _ in range(n_pairs):
-            clean, noisy, _ = _sequence(rng, 3.0, "mix")
-            rows.append(_heldout_pair(params, rn, clean, noisy))
-    finally:
-        SNR_GRID_DB, SNR_WEIGHTS, CATEGORY_WEIGHTS = saved
+    uniform_cats = {c: 1.0 / len(NOISE_CATEGORIES) for c in NOISE_CATEGORIES}
+    rows = []
+    for _ in range(n_pairs):
+        clean, noisy, _ = _sequence(
+            rng, 3.0, "mix", snr_grid=HELDOUT_SNR_GRID_DB,
+            snr_weights=uniform_snr, category_weights=uniform_cats)
+        rows.append(_heldout_pair(params, rn, clean, noisy))
     return rows
 
 
