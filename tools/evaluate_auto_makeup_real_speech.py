@@ -35,6 +35,12 @@ import numpy as np
 
 from _evaluation_common import utc_now, write_report
 
+from audioforge_tpu.cache import enable_compile_cache
+
+# the fused control scan is compile-heavy; the persistent cache makes
+# regeneration pay compile once per machine
+enable_compile_cache()
+
 SAMPLE_RATE = 48000
 BLOCK = 480
 CONTROL_CADENCE_HZ = SAMPLE_RATE / BLOCK

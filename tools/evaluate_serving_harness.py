@@ -35,6 +35,12 @@ if str(REPO_ROOT) not in sys.path:
 
 from tools._evaluation_common import write_report  # noqa: E402
 
+from audioforge_tpu.cache import enable_compile_cache  # noqa: E402
+
+# the serving-engine graphs at five fleet sizes are compile-heavy; the
+# persistent cache makes regeneration pay compile once per machine
+enable_compile_cache()
+
 BLOCK_PERIOD_S = 480 / 48000.0
 FLEET_SIZES = (1, 4, 16, 256, 1024)
 SCAN_SPAN_BLOCKS = 100  # 1 s of audio per fused device call

@@ -42,6 +42,12 @@ sys.path.insert(0, str(REPO_ROOT / "tools"))
 from _evaluation_common import utc_now, write_report  # noqa: E402
 from build_vad_evaluation_corpus import _noise, _speech  # noqa: E402
 
+from audioforge_tpu.cache import enable_compile_cache  # noqa: E402
+
+# the training step and staging-processor scans are compile-heavy; the
+# persistent cache makes retrain iterations pay compile once
+enable_compile_cache()
+
 SAMPLE_RATE = 48000
 FRAME = 480
 SEED = 0xDF3A
@@ -69,7 +75,7 @@ WAVE_WEIGHT = 0.5
 
 def _sequence(rng, seconds: float, kind: str, *,
               snr_grid=SNR_GRID_DB, snr_weights=SNR_WEIGHTS,
-              category_weights=None):
+              category_weights=None, info=None):
     """One 48 kHz sequence: (clean, noisy).
 
     The SNR/category distributions default to the training curriculum;
@@ -95,8 +101,12 @@ def _sequence(rng, seconds: float, kind: str, *,
         weights = [category_weights[c] for c in NOISE_CATEGORIES]
         category = str(rng.choice(NOISE_CATEGORIES, p=weights))
         noise = _noise(category, rng, n)
+        if info is not None:
+            info["categories"] = [category]
         if kind == "mix" and clean.any():
             snr_db = float(rng.choice(snr_grid, p=snr_weights))
+            if info is not None:
+                info["snr_db"] = snr_db
             speech_rms = float(np.sqrt(np.mean(np.square(clean)))) or 1e-4
             gain = speech_rms / (10.0 ** (snr_db / 20.0))
         else:
@@ -225,9 +235,11 @@ def heldout_si_sdr(params, n_pairs: int, seed: int, low_latency=True):
     uniform_cats = {c: 1.0 / len(NOISE_CATEGORIES) for c in NOISE_CATEGORIES}
     rows = []
     for _ in range(n_pairs):
+        info: dict = {}
         clean, noisy = _sequence(
             rng, 3.0, "mix", snr_grid=HELDOUT_SNR_GRID_DB,
-            snr_weights=uniform_snr, category_weights=uniform_cats)
+            snr_weights=uniform_snr, category_weights=uniform_cats,
+            info=info)
         n = min(clean.size, noisy.size)
         state = dfn3.processor_init(params, low_latency=low_latency)
         state, _ = dfn3.processor_push(state, noisy[:n])
@@ -236,8 +248,12 @@ def heldout_si_sdr(params, n_pairs: int, seed: int, low_latency=True):
         lat = dfn3.latency_samples(low_latency)
         aligned = np.asarray(out)[lat:]
         m = min(aligned.size, n - lat)
-        rows.append(float(_si_sdr(clean[:m], aligned[:m])
-                          - _si_sdr(clean[:m], noisy[:m])))
+        rows.append({
+            "improvement_db": float(_si_sdr(clean[:m], aligned[:m])
+                                    - _si_sdr(clean[:m], noisy[:m])),
+            "categories": info.get("categories", []),
+            "snr_db": info.get("snr_db"),
+        })
     return rows
 
 
@@ -270,12 +286,16 @@ def main() -> int:
         clean, noisy, args.steps, args.batch, args.lr, args.seed,
         low_latency=low_latency)
 
-    improvements = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1,
-                                  low_latency=low_latency)
+    pairs = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1,
+                           low_latency=low_latency)
+    improvements = [p["improvement_db"] for p in pairs]
     med = float(np.median(improvements))
     print(f"held-out SI-SDR improvement: median {med:.2f} dB "
           f"(min {min(improvements):.2f}, max {max(improvements):.2f})",
           flush=True)
+    for p in pairs:
+        print(f"  {p['improvement_db']:7.2f} dB  snr {p['snr_db']:5.1f}  "
+              f"{'+'.join(p['categories'])}", flush=True)
 
     args.output.parent.mkdir(parents=True, exist_ok=True)
     np.savez(
@@ -326,6 +346,12 @@ def main() -> int:
             "pairs": args.heldout_pairs,
             "runtime_atten_lim_db": 30.0,
             "si_sdr_improvements_db": [round(v, 3) for v in improvements],
+            "per_pair": [
+                {"improvement_db": round(p["improvement_db"], 3),
+                 "snr_db": p["snr_db"],
+                 "categories": p["categories"]}
+                for p in pairs
+            ],
             "median_improvement_db": round(med, 3),
             "min_pair_improvement_db": round(float(min(improvements)), 3),
         },

@@ -46,6 +46,12 @@ sys.path.insert(0, str(REPO_ROOT / "tools"))
 from _evaluation_common import utc_now, write_report  # noqa: E402
 from build_vad_evaluation_corpus import _noise, _speech  # noqa: E402
 
+from audioforge_tpu.cache import enable_compile_cache  # noqa: E402
+
+# the feature-extraction and heldout scans are compile-heavy (pitch
+# search); the persistent cache makes retrain iterations pay compile once
+enable_compile_cache()
+
 SAMPLE_RATE = 48000
 FRAME = 480
 SEED = 0x7EA1A
@@ -82,7 +88,7 @@ QUARTIC_WEIGHT = 10.0
 
 def _sequence(rng, seconds: float, kind: str, *,
               snr_grid=SNR_GRID_DB, snr_weights=SNR_WEIGHTS,
-              category_weights=None):
+              category_weights=None, info=None):
     """One training sequence at 48 kHz: returns (clean, noisy, active).
 
     ``kind``: "mix" (speech+noise at a drawn SNR), "noise" (noise only),
@@ -119,10 +125,14 @@ def _sequence(rng, seconds: float, kind: str, *,
         noise = np.zeros(n, np.float32)
         for c in cats:
             noise += _noise(str(c), rng, n) / len(cats)
+        if info is not None:
+            info["categories"] = [str(c) for c in cats]
         if kind == "mix":
             speech_rms = np.sqrt(np.mean(clean[active] ** 2)) if active.any() \
                 else 10.0 ** (-22.0 / 20.0)
             snr = float(rng.choice(snr_grid, p=snr_weights))
+            if info is not None:
+                info["snr_db"] = snr
             noise_rms = speech_rms / (10.0 ** (snr / 20.0))
         else:  # noise-only: realistic ambient levels
             noise_rms = 10.0 ** (rng.uniform(-55.0, -25.0) / 20.0)
@@ -366,10 +376,16 @@ def heldout_si_sdr(params, n_pairs: int, seed: int):
     uniform_cats = {c: 1.0 / len(NOISE_CATEGORIES) for c in NOISE_CATEGORIES}
     rows = []
     for _ in range(n_pairs):
+        info: dict = {}
         clean, noisy, _ = _sequence(
             rng, 3.0, "mix", snr_grid=HELDOUT_SNR_GRID_DB,
-            snr_weights=uniform_snr, category_weights=uniform_cats)
-        rows.append(_heldout_pair(params, rn, clean, noisy))
+            snr_weights=uniform_snr, category_weights=uniform_cats,
+            info=info)
+        rows.append({
+            "improvement_db": _heldout_pair(params, rn, clean, noisy),
+            "categories": info.get("categories", []),
+            "snr_db": info.get("snr_db"),
+        })
     return rows
 
 
@@ -413,11 +429,15 @@ def main() -> int:
         args.steps, args.batch, args.lr, args.seed,
     )
 
-    improvements = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1)
+    pairs = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1)
+    improvements = [p["improvement_db"] for p in pairs]
     med = float(np.median(improvements))
     print(f"held-out SI-SDR improvement: median {med:.2f} dB "
           f"(min {min(improvements):.2f}, max {max(improvements):.2f})",
           flush=True)
+    for p in pairs:
+        print(f"  {p['improvement_db']:7.2f} dB  snr {p['snr_db']:5.1f}  "
+              f"{'+'.join(p['categories'])}", flush=True)
 
     args.output.parent.mkdir(parents=True, exist_ok=True)
     np.savez(
@@ -462,6 +482,12 @@ def main() -> int:
         "heldout": {
             "pairs": args.heldout_pairs,
             "si_sdr_improvements_db": [round(v, 3) for v in improvements],
+            "per_pair": [
+                {"improvement_db": round(p["improvement_db"], 3),
+                 "snr_db": p["snr_db"],
+                 "categories": p["categories"]}
+                for p in pairs
+            ],
             "median_improvement_db": round(med, 3),
             "min_pair_improvement_db": round(float(min(improvements)), 3),
         },

@@ -43,6 +43,12 @@ sys.path.insert(0, str(REPO_ROOT / "tools"))
 from _evaluation_common import utc_now, write_report  # noqa: E402
 from build_vad_evaluation_corpus import _noise, _speech  # noqa: E402
 
+from audioforge_tpu.cache import enable_compile_cache  # noqa: E402
+
+# the BPTT scan and offline-analysis paths are compile-heavy; the
+# persistent cache makes retrain iterations pay compile once
+enable_compile_cache()
+
 SAMPLE_RATE = 48000
 SEED = 0x51E0A
 NOISE_CATEGORIES = ("white", "pink", "hum", "keyboard", "engine", "babble")
