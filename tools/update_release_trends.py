@@ -93,6 +93,45 @@ def _hardware_metrics() -> dict:
     }
 
 
+def _latency_metrics() -> dict:
+    """The interactive-latency story as tracked trend keys: device-side
+    per-block p99 per fleet (serving report, gated < 10 ms), host dispatch
+    overhead, and end-to-end engine latency at the host block multiple the
+    sustained health run passes at (hardware report), next to the
+    reference's published 38.44 ms engine latency."""
+    serving = REPO_ROOT / "evaluation" / "serving-harness-report.json"
+    out: dict = {}
+    if serving.is_file():
+        report = json.loads(serving.read_text())
+        rows = report.get("results", report.get("fleets", [])) or []
+        device_p99 = {}
+        dispatch_ms = {}
+        for row in rows:
+            fleet = row.get("fleet_size")
+            lat = row.get("device_block_latency") or {}
+            if lat.get("p99_seconds") is not None:
+                device_p99[str(fleet)] = round(
+                    lat["p99_seconds"] * 1000.0, 3)
+            if row.get("interactive_dispatch_overhead_seconds") is not None:
+                dispatch_ms[str(fleet)] = round(
+                    row["interactive_dispatch_overhead_seconds"] * 1000.0, 3)
+        out["device_block_p99_ms_by_fleet"] = device_p99
+        out["host_dispatch_overhead_ms_by_fleet"] = dispatch_ms
+        out["device_block_p99_under_period"] = report.get("gates", {}).get(
+            "device_block_p99_under_period_small_fleets")
+    if HARDWARE_REPORT.is_file():
+        health = json.loads(HARDWARE_REPORT.read_text()).get(
+            "metrics", {}).get("host_health", {})
+        out["engine_latency_ms_at_passing_host_config"] = health.get(
+            "engine_latency_ms")
+        out["host_block_multiple"] = health.get("host_block_multiple")
+        out["reference_engine_latency_ms"] = health.get(
+            "reference_engine_latency_ms", 38.44)
+    if not out:
+        return {"status": "not_measured", "reason": "no latency reports"}
+    return {"status": "measured", "value": out}
+
+
 def _runtime_metrics() -> dict:
     """Headline runtime from the sustained virtual-device health counters."""
     health = REPO_ROOT / "evaluation" / "hardware-validation-report.json"
@@ -119,6 +158,7 @@ def build_entry(status: str) -> dict:
         "package": _package_metrics(),
         "hardware": _hardware_metrics(),
         "runtime": _runtime_metrics(),
+        "latency": _latency_metrics(),
     }
 
 
