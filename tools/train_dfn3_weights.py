@@ -72,6 +72,20 @@ TRAIN_ATTEN_LIM_DB = 100.0  # graph maximum: the net learns the suppression
 MAG_GAMMA = 0.6  # DeepFilterNet compressed-magnitude exponent
 WAVE_WEIGHT = 0.5
 
+# Phase-2 fine-tune (r4): the spectral recipe optimises compressed-
+# magnitude regression at the 100 dB training attenuation, but the gate is
+# waveform SI-SDR through the staging processor at the PRODUCTION 30 dB
+# limit (`deepfilter-hardening-report.json`) — a different objective at a
+# different operating point. The whole graph is differentiable, so phase 2
+# backpropagates the held-out metric itself at atten 30, with a hinge that
+# pushes every mixture above the min-pair >= 0 dB floor (on speech-shaped
+# babble "pass through when unsure" beats chasing unlearnable targets).
+FT_HINGE_MARGIN_DB = 1.5
+FT_HINGE_WEIGHT = 1.5
+FT_NOISE_WEIGHT = 1.0    # noise-only sequences: residual-energy ratio
+FT_CLEAN_WEIGHT = 1.0    # clean sequences: passthrough relative MSE
+KIND_CODES = {"mix": 0, "noise": 1, "clean": 2}
+
 
 def _sequence(rng, seconds: float, kind: str, *,
               snr_grid=SNR_GRID_DB, snr_weights=SNR_WEIGHTS,
@@ -122,11 +136,14 @@ def build_corpus(n_seqs: int, seconds: float, seed: int):
     usable = n_frames * FRAME
     clean = np.zeros((n_seqs, n_frames, FRAME), np.float32)
     noisy = np.zeros((n_seqs, n_frames, FRAME), np.float32)
+    codes = np.zeros(n_seqs, np.int32)
     for s in range(n_seqs):
-        c, x = _sequence(rng, seconds, kinds[s % len(kinds)])
+        kind = kinds[s % len(kinds)]
+        c, x = _sequence(rng, seconds, kind)
         clean[s] = c[:usable].reshape(n_frames, FRAME)
         noisy[s] = x[:usable].reshape(n_frames, FRAME)
-    return clean, noisy
+        codes[s] = KIND_CODES[kind]
+    return clean, noisy, codes
 
 
 def train(clean, noisy, steps, batch, lr, seed, low_latency=True):
@@ -207,6 +224,109 @@ def train(clean, noisy, steps, batch, lr, seed, low_latency=True):
     return params, history
 
 
+def finetune(clean, noisy, kinds, params, steps, batch, lr, seed,
+             low_latency=True):
+    """Phase 2: optimise the held-out metric itself — waveform SI-SDR at
+    the production 30 dB attenuation limit, backpropagated through the
+    full ``dfn_frames`` graph. Per-kind objectives: mix -> SI-SDR
+    improvement with a hinge at ``FT_HINGE_MARGIN_DB``; noise-only ->
+    residual-energy ratio; clean -> passthrough relative MSE."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audioforge_tpu.models import dfn3
+
+    lat = 1 if low_latency else 3
+    n_seq, n_frames = clean.shape[:2]
+    ref_np = clean[:, : n_frames - lat].reshape(n_seq, -1)
+    noisy_np = noisy[:, : n_frames - lat].reshape(n_seq, -1)
+
+    dot = np.sum(ref_np * noisy_np, -1)
+    ref_e = np.sum(ref_np * ref_np, -1)
+    alpha = dot / np.maximum(ref_e, 1e-12)
+    err = noisy_np - alpha[:, None] * ref_np
+    base_si = (10.0 * np.log10(
+        np.maximum(alpha ** 2 * ref_e, 1e-12)
+        / np.maximum(np.sum(err * err, -1), 1e-12))).astype(np.float32)
+    noisy_energy = np.sum(noisy_np ** 2, -1).astype(np.float32)
+
+    def seq_est(params, noisy_frames):
+        st = dfn3.dfn_state_init(lookahead=not low_latency)
+        _, ys = dfn3.dfn_frames(params, st, noisy_frames,
+                                atten_lim_db=30.0)
+        return ys[lat:].reshape(-1)
+
+    def loss_fn(params, b_noisy, b_ref, b_base, b_energy, b_kind):
+        est = jax.vmap(seq_est, in_axes=(None, 0))(params, b_noisy)
+        dot = jnp.sum(b_ref * est, -1)
+        ref_e = jnp.sum(b_ref * b_ref, -1)
+        alpha = dot / jnp.maximum(ref_e, 1e-12)
+        err = est - alpha[:, None] * b_ref
+        si = 10.0 * jnp.log10(
+            jnp.maximum(alpha ** 2 * ref_e, 1e-12)
+            / jnp.maximum(jnp.sum(err * err, -1), 1e-12))
+        imp = si - b_base
+
+        is_mix = b_kind == 0
+        is_noise = b_kind == 1
+        is_clean = b_kind == 2
+        mix_term = (-imp / 10.0
+                    + FT_HINGE_WEIGHT
+                    * jax.nn.softplus(FT_HINGE_MARGIN_DB - imp))
+        mix_loss = (jnp.sum(jnp.where(is_mix, mix_term, 0.0))
+                    / jnp.maximum(jnp.sum(is_mix), 1))
+        resid = jnp.sum(est * est, -1) / jnp.maximum(b_energy, 1e-12)
+        noise_loss = (jnp.sum(jnp.where(is_noise, resid, 0.0))
+                      / jnp.maximum(jnp.sum(is_noise), 1))
+        rel_mse = (jnp.sum((est - b_ref) ** 2, -1)
+                   / jnp.maximum(ref_e, 1e-12))
+        clean_loss = (jnp.sum(jnp.where(is_clean, rel_mse, 0.0))
+                      / jnp.maximum(jnp.sum(is_clean), 1))
+        total = (mix_loss + FT_NOISE_WEIGHT * noise_loss
+                 + FT_CLEAN_WEIGHT * clean_loss)
+        mean_imp = (jnp.sum(jnp.where(is_mix, imp, 0.0))
+                    / jnp.maximum(jnp.sum(is_mix), 1))
+        min_imp = jnp.min(jnp.where(is_mix, imp, jnp.inf))
+        return total, (mean_imp, min_imp)
+
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, b_noisy, b_ref, b_base, b_energy, b_kind):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, b_noisy, b_ref, b_base, b_energy, b_kind)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    dev = jax.devices()[0]
+    data = tuple(
+        jax.device_put(jnp.asarray(a), dev)
+        for a in (noisy, ref_np, base_si, noisy_energy, kinds)
+    )
+    rng = np.random.default_rng(seed + 7)
+    history = []
+    t0 = time.time()
+    for i in range(steps):
+        idx = jnp.asarray(
+            rng.choice(n_seq, size=min(batch, n_seq), replace=False))
+        b = tuple(a[idx] for a in data)
+        params, opt_state, loss, (mean_imp, min_imp) = step(
+            params, opt_state, *b)
+        if i % 25 == 0 or i == steps - 1:
+            history.append(
+                {"step": i, "loss": float(loss),
+                 "batch_mean_imp_db": round(float(mean_imp), 3),
+                 "batch_min_imp_db": round(float(min_imp), 3)})
+            print(f"ft   {i:5d} loss {float(loss):.4f} "
+                  f"(imp mean {float(mean_imp):+.2f} min "
+                  f"{float(min_imp):+.2f} dB) {time.time() - t0:.0f}s",
+                  flush=True)
+    return params, history
+
+
 def _si_sdr(reference, estimate):
     alpha = float(np.dot(estimate, reference)
                   / max(np.dot(reference, reference), 1e-12))
@@ -264,6 +384,8 @@ def main() -> int:
     parser.add_argument("--steps", type=int, default=900)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--ft-steps", type=int, default=500)
+    parser.add_argument("--ft-lr", type=float, default=2e-4)
     parser.add_argument("--seed", type=int, default=SEED)
     parser.add_argument("--variant", choices=("standard", "ll"), default="ll",
                         help="latency variant: the two are different models "
@@ -278,13 +400,20 @@ def main() -> int:
 
     t0 = time.time()
     print("building corpus...", flush=True)
-    clean, noisy = build_corpus(args.seqs, args.seconds, args.seed)
+    clean, noisy, kinds = build_corpus(args.seqs, args.seconds, args.seed)
     print(f"corpus {noisy.shape} in {time.time() - t0:.0f}s; training...",
           flush=True)
 
     params, history = train(
         clean, noisy, args.steps, args.batch, args.lr, args.seed,
         low_latency=low_latency)
+    ft_history = []
+    if args.ft_steps > 0:
+        print("phase 2: SI-SDR fine-tune at the production atten limit...",
+              flush=True)
+        params, ft_history = finetune(
+            clean, noisy, kinds, params, args.ft_steps, args.batch,
+            args.ft_lr, args.seed, low_latency=low_latency)
 
     pairs = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1,
                            low_latency=low_latency)
@@ -316,8 +445,9 @@ def main() -> int:
             "trained from scratch on a seeded synthetic speech+noise "
             "corpus; compressed-magnitude spectral loss (gamma 0.6) + "
             "waveform term; attenuation limit opened to 100 dB during "
-            "training, runtime default 30 dB unchanged; no third-party "
-            "weights involved"
+            "training, then fine-tuned on waveform SI-SDR at the "
+            "production 30 dB limit with a hinge at the per-pair floor; "
+            "no third-party weights involved"
         ),
         "provenance": "trained",
         "corpus": {
@@ -333,6 +463,13 @@ def main() -> int:
             "lr": args.lr,
             "train_atten_lim_db": TRAIN_ATTEN_LIM_DB,
             "loss_history": history[-8:],
+            "finetune": {
+                "steps": args.ft_steps,
+                "lr": args.ft_lr,
+                "atten_lim_db": 30.0,
+                "hinge_margin_db": FT_HINGE_MARGIN_DB,
+                "loss_history": ft_history[-8:],
+            },
             "wall_seconds": round(time.time() - t0, 1),
         },
         "domain_claim": (

@@ -80,6 +80,23 @@ GAIN_EPS = 1e-3
 VAD_LOSS_WEIGHT = 0.5
 QUARTIC_WEIGHT = 10.0
 
+# Phase-2 fine-tune (r4): the gain-MSE recipe optimises oracle-gain
+# regression, but the gate is waveform SI-SDR through the full synthesis
+# (hangover + comb filter + overlap-add) — a different objective. Every
+# synthesis stage after the RNN is differentiable and params-independent
+# features/spectra are precomputed, so phase 2 backpropagates the actual
+# held-out metric through the exact runtime graph. The hinge term pushes
+# every sequence above the per-pair floor (min improvement >= 0 dB gate):
+# on speech-shaped babble the oracle gains are unlearnable and regression
+# to their mean HURTS SI-SDR, while "pass through when unsure" — which no
+# gain-MSE loss can express — satisfies the floor.
+FT_HINGE_MARGIN_DB = 1.5
+FT_HINGE_WEIGHT = 1.5
+FT_ANCHOR_WEIGHT = 0.3   # keeps phase-1 gain/VAD behavior from drifting
+FT_NOISE_WEIGHT = 1.0    # noise-only sequences: residual-energy ratio
+FT_CLEAN_WEIGHT = 1.0    # clean sequences: passthrough relative MSE
+KIND_CODES = {"mix": 0, "noise": 1, "clean": 2}
+
 
 # ---------------------------------------------------------------------------
 # Corpus
@@ -162,6 +179,7 @@ def build_corpus(n_seqs: int, seconds: float, seed: int):
         np.stack(cleans).astype(np.float32),
         np.stack(noisys).astype(np.float32),
         np.stack(vads),
+        np.asarray([KIND_CODES[k] for k in kinds], np.int32),
     )
 
 
@@ -174,8 +192,12 @@ def extract_features(clean, noisy):
     """Run the exact runtime feature extractor over [N, T, 480] PCM frames.
 
     Returns (features [N,T,42], gains [N,T,22], band_mask [N,T,22],
-    silence [N,T]) with the runtime's silence-conditional cepstral-memory
-    freeze reproduced exactly (`models/rnnoise.py rnnoise_frame`).
+    silence [N,T], X [N,T,481,2] f32, P [N,T,481,2] f32) with the runtime's
+    silence-conditional cepstral-memory freeze reproduced exactly
+    (`models/rnnoise.py rnnoise_frame`). X/P (the analysis and
+    pitch-delayed spectra) are params-independent, so the phase-2
+    SI-SDR fine-tune can resynthesize output audio from them without
+    re-running the pitch search.
     """
     import jax
     import jax.numpy as jnp
@@ -209,7 +231,12 @@ def extract_features(clean, noisy):
                 sil, st["cepstral_mem"], upd["cepstral_mem"]
             ),
         )
-        return (new_st, cmem, xcf), (feats, g, band_mask, silence)
+        # complex device->host transfer is unimplemented on the axon TPU
+        # backend; ship spectra as [..., 481, 2] real/imag float32 pairs
+        X_ri = jnp.stack([X.real, X.imag], axis=-1).astype(jnp.float32)
+        P_ri = jnp.stack([P.real, P.imag], axis=-1).astype(jnp.float32)
+        return (new_st, cmem, xcf), (feats, g, band_mask, silence,
+                                     X_ri, P_ri)
 
     @jax.jit
     def run(clean, noisy):
@@ -219,12 +246,14 @@ def extract_features(clean, noisy):
             jnp.zeros((n, rn.FRAME_SIZE), jnp.float32),
         )
         xs = (jnp.moveaxis(noisy, 1, 0), jnp.moveaxis(clean, 1, 0))
-        _, (f, g, m, s) = jax.lax.scan(body, st0, xs)
+        _, (f, g, m, s, X, P) = jax.lax.scan(body, st0, xs)
         return (jnp.moveaxis(f, 0, 1), jnp.moveaxis(g, 0, 1),
-                jnp.moveaxis(m, 0, 1), jnp.moveaxis(s, 0, 1))
+                jnp.moveaxis(m, 0, 1), jnp.moveaxis(s, 0, 1),
+                jnp.moveaxis(X, 0, 1), jnp.moveaxis(P, 0, 1))
 
-    f, g, m, s = run(jnp.asarray(clean), jnp.asarray(noisy))
-    return (np.asarray(f), np.asarray(g), np.asarray(m), np.asarray(s))
+    f, g, m, s, X, P = run(jnp.asarray(clean), jnp.asarray(noisy))
+    return (np.asarray(f), np.asarray(g), np.asarray(m), np.asarray(s),
+            np.asarray(X), np.asarray(P))
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +369,163 @@ def train(feats, gains, band_mask, silence, vad, steps, batch, lr, seed):
     return params, history
 
 
+def finetune(params, feats, band_gains, band_mask, silence, vad, X, P,
+             clean, noisy, kinds, steps, batch, lr, seed):
+    """Phase 2: optimise the held-out metric itself — waveform SI-SDR
+    through the exact runtime synthesis (gain hangover, per-band comb
+    filter, gain interpolation, inverse transform, overlap-add). All
+    spectra are precomputed (params-independent), so each step costs one
+    RNN scan plus cheap matmul/FFT synthesis.
+
+    Per-kind objectives: mix -> SI-SDR improvement with a hinge at
+    ``FT_HINGE_MARGIN_DB`` (targets the min-pair >= 0 dB gate); noise-only
+    -> residual-energy ratio (suppression must not regress); clean ->
+    passthrough relative MSE. A scaled phase-1 loss anchors the gain/VAD
+    targets."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audioforge_tpu.models import rnnoise as rn
+
+    rnn_scan, _ = make_loss()
+    n_seq, n_frames = feats.shape[:2]
+
+    # alignment: synthesis output frame t reconstructs input frame t-1
+    # (one-frame overlap-add latency, `rnnoise.rs:313-315`), so est frames
+    # 1..T-1 estimate clean frames 0..T-2.
+    ref = clean[:, : n_frames - 1].reshape(n_seq, -1)
+    noisy_aligned = noisy[:, : n_frames - 1].reshape(n_seq, -1)
+
+    def np_si_sdr_rows(ref_r, est_r):
+        dot = np.sum(ref_r * est_r, -1)
+        ref_e = np.sum(ref_r * ref_r, -1)
+        alpha = dot / np.maximum(ref_e, 1e-9)
+        target = alpha[:, None] * ref_r
+        err = est_r - target
+        te = np.sum(target * target, -1)
+        ee = np.sum(err * err, -1)
+        return 10.0 * np.log10(np.maximum(te, 1e-9)
+                               / np.maximum(ee, 1e-9))
+
+    base_si = np_si_sdr_rows(ref, noisy_aligned).astype(np.float32)
+    noisy_energy = np.sum(noisy_aligned ** 2, -1).astype(np.float32)
+
+    def si_sdr_rows(ref_r, est_r):
+        dot = jnp.sum(ref_r * est_r, -1)
+        ref_e = jnp.sum(ref_r * ref_r, -1)
+        alpha = dot / jnp.maximum(ref_e, 1e-9)
+        target = alpha[:, None] * ref_r
+        err = est_r - target
+        te = jnp.sum(target * target, -1)
+        ee = jnp.sum(err * err, -1)
+        return 10.0 * jnp.log10(jnp.maximum(te, 1e-9)
+                                / jnp.maximum(ee, 1e-9))
+
+    def loss_fn(params, b):
+        (feats, g_t, b_mask, silence, vad_t, X_ri, P_ri, ref, base,
+         n_energy, kind) = b
+        X = X_ri[..., 0] + 1j * X_ri[..., 1]
+        P = P_ri[..., 0] + 1j * P_ri[..., 1]
+        g_p, vad_p = rnn_scan(params, feats, silence)
+
+        # phase-1 anchor (identical formulas on the raw sigmoid outputs)
+        w = b_mask & ~silence[..., None]
+        d = jnp.sqrt(g_p) - jnp.sqrt(g_t)
+        per = d * d + QUARTIC_WEIGHT * d ** 4
+        gain_loss = jnp.sum(jnp.where(w, per, 0.0)) / jnp.maximum(
+            jnp.sum(w), 1.0)
+        vw = ~silence
+        eps = 1e-7
+        bce = -(vad_t * jnp.log(vad_p + eps)
+                + (1.0 - vad_t) * jnp.log(1.0 - vad_p + eps))
+        vad_loss = jnp.sum(jnp.where(vw, bce, 0.0)) / jnp.maximum(
+            jnp.sum(vw), 1.0)
+        anchor = gain_loss + VAD_LOSS_WEIGHT * vad_loss
+
+        # exact runtime synthesis: hangover scan -> comb -> gains -> OLA
+        def hang(lastg, xs):
+            g_f, sil_f = xs
+            g2 = jnp.maximum(g_f, 0.6 * lastg)
+            return jnp.where(sil_f[:, None], lastg, g2), g2
+
+        _, g2 = jax.lax.scan(
+            hang, jnp.zeros_like(g_p[:, 0]),
+            (jnp.moveaxis(g_p, 1, 0), jnp.moveaxis(silence, 1, 0)))
+        g2 = jnp.moveaxis(g2, 0, 1)
+
+        Ex = rn._band_energy(X)
+        Ep = rn._band_energy(P)
+        Exp = rn._band_corr(X, P) / jnp.sqrt(0.001 + Ex * Ep)
+        Xf = rn._pitch_filter(X, P, Ex, Ep, Exp, g2)
+        Y = jnp.where(silence[..., None], X, Xf * (g2 @ rn._INTERP.T))
+        y = rn._inv(Y) * rn._WINDOW
+        est = (y[:, :-1, rn.FRAME_SIZE:]
+               + y[:, 1:, : rn.FRAME_SIZE]).reshape(y.shape[0], -1)
+
+        imp = si_sdr_rows(ref, est) - base
+        is_mix = kind == 0
+        is_noise = kind == 1
+        is_clean = kind == 2
+        mix_term = (-imp / 10.0
+                    + FT_HINGE_WEIGHT
+                    * jax.nn.softplus(FT_HINGE_MARGIN_DB - imp))
+        mix_loss = (jnp.sum(jnp.where(is_mix, mix_term, 0.0))
+                    / jnp.maximum(jnp.sum(is_mix), 1))
+        resid = jnp.sum(est * est, -1) / jnp.maximum(n_energy, 1e-6)
+        noise_loss = (jnp.sum(jnp.where(is_noise, resid, 0.0))
+                      / jnp.maximum(jnp.sum(is_noise), 1))
+        rel_mse = (jnp.sum((est - ref) ** 2, -1)
+                   / jnp.maximum(jnp.sum(ref * ref, -1), 1e-6))
+        clean_loss = (jnp.sum(jnp.where(is_clean, rel_mse, 0.0))
+                      / jnp.maximum(jnp.sum(is_clean), 1))
+
+        total = (mix_loss + FT_NOISE_WEIGHT * noise_loss
+                 + FT_CLEAN_WEIGHT * clean_loss
+                 + FT_ANCHOR_WEIGHT * anchor)
+        mean_imp = (jnp.sum(jnp.where(is_mix, imp, 0.0))
+                    / jnp.maximum(jnp.sum(is_mix), 1))
+        min_imp = jnp.min(jnp.where(is_mix, imp, jnp.inf))
+        return total, (mean_imp, min_imp)
+
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, b):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, b)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    dev = jax.devices()[0]
+    data = tuple(
+        jax.device_put(jnp.asarray(a), dev)
+        for a in (feats, band_gains, band_mask, silence, vad, X, P,
+                  ref, base_si, noisy_energy, kinds)
+    )
+    rng = np.random.default_rng(seed + 7)
+    history = []
+    t0 = time.time()
+    for i in range(steps):
+        idx = jnp.asarray(
+            rng.choice(n_seq, size=min(batch, n_seq), replace=False))
+        b = tuple(a[idx] for a in data)
+        params, opt_state, loss, (mean_imp, min_imp) = step(
+            params, opt_state, b)
+        if i % 50 == 0 or i == steps - 1:
+            history.append(
+                {"step": i, "loss": float(loss),
+                 "batch_mean_imp_db": round(float(mean_imp), 3),
+                 "batch_min_imp_db": round(float(min_imp), 3)})
+            print(f"ft   {i:5d} loss {float(loss):.4f} "
+                  f"(imp mean {float(mean_imp):+.2f} min "
+                  f"{float(min_imp):+.2f} dB) {time.time() - t0:.0f}s",
+                  flush=True)
+    return params, history
+
+
 # ---------------------------------------------------------------------------
 # Held-out evaluation
 # ---------------------------------------------------------------------------
@@ -409,6 +595,8 @@ def main() -> int:
     parser.add_argument("--steps", type=int, default=6000)
     parser.add_argument("--batch", type=int, default=24)
     parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--ft-steps", type=int, default=2500)
+    parser.add_argument("--ft-lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=SEED)
     parser.add_argument("--output", type=Path,
                         default=REPO_ROOT / "models" / "rnnoise.npz")
@@ -417,10 +605,11 @@ def main() -> int:
 
     t0 = time.time()
     print("building corpus...", flush=True)
-    clean, noisy, vad = build_corpus(args.seqs, args.seconds, args.seed)
+    clean, noisy, vad, kinds = build_corpus(
+        args.seqs, args.seconds, args.seed)
     print(f"corpus {clean.shape} in {time.time() - t0:.0f}s; "
           "extracting features...", flush=True)
-    feats, gains, band_mask, silence = extract_features(clean, noisy)
+    feats, gains, band_mask, silence, X, P = extract_features(clean, noisy)
     print(f"features done at {time.time() - t0:.0f}s; training...",
           flush=True)
 
@@ -428,6 +617,15 @@ def main() -> int:
         feats, gains, band_mask, silence, vad.astype(np.float32),
         args.steps, args.batch, args.lr, args.seed,
     )
+    ft_history = []
+    if args.ft_steps > 0:
+        print("phase 2: SI-SDR fine-tune through the synthesis graph...",
+              flush=True)
+        params, ft_history = finetune(
+            params, feats, gains, band_mask, silence,
+            vad.astype(np.float32), X, P, clean, noisy, kinds,
+            args.ft_steps, args.batch, args.ft_lr, args.seed,
+        )
 
     pairs = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1)
     improvements = [p["improvement_db"] for p in pairs]
@@ -455,7 +653,10 @@ def main() -> int:
             "exact framework graph trained from scratch on a seeded "
             "synthetic speech+noise corpus (published RNNoise recipe: "
             "sqrt-gain targets on eband5ms energies, masked invalid "
-            "bands, VAD BCE); no third-party weights involved"
+            "bands, VAD BCE), then fine-tuned on waveform SI-SDR "
+            "backpropagated through the exact runtime synthesis "
+            "(hangover, comb filter, overlap-add) with a hinge at the "
+            "per-pair floor; no third-party weights involved"
         ),
         "provenance": "trained",
         "corpus": {
@@ -470,6 +671,12 @@ def main() -> int:
             "batch": args.batch,
             "lr": args.lr,
             "loss_history": history[-8:],
+            "finetune": {
+                "steps": args.ft_steps,
+                "lr": args.ft_lr,
+                "hinge_margin_db": FT_HINGE_MARGIN_DB,
+                "loss_history": ft_history[-8:],
+            },
             "wall_seconds": round(time.time() - t0, 1),
         },
         "domain_claim": (
