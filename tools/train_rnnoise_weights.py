@@ -43,7 +43,8 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 sys.path.insert(0, str(REPO_ROOT / "tools"))
 
-from _evaluation_common import utc_now, write_report  # noqa: E402
+from _evaluation_common import EVALUATION_DIR, utc_now, write_report  # noqa: E402
+from _model_gates import compute_si_sdr_gates  # noqa: E402
 from build_vad_evaluation_corpus import _noise, _speech  # noqa: E402
 
 from audioforge_tpu.cache import enable_compile_cache  # noqa: E402
@@ -90,12 +91,20 @@ QUARTIC_WEIGHT = 10.0
 # on speech-shaped babble the oracle gains are unlearnable and regression
 # to their mean HURTS SI-SDR, while "pass through when unsure" — which no
 # gain-MSE loss can express — satisfies the floor.
-FT_HINGE_MARGIN_DB = 1.5
-FT_HINGE_WEIGHT = 1.5
+FT_HINGE_MARGIN_DB = 2.0
+FT_HINGE_WEIGHT = 3.0
 FT_ANCHOR_WEIGHT = 0.3   # keeps phase-1 gain/VAD behavior from drifting
 FT_NOISE_WEIGHT = 1.0    # noise-only sequences: residual-energy ratio
 FT_CLEAN_WEIGHT = 1.0    # clean sequences: passthrough relative MSE
 KIND_CODES = {"mix": 0, "noise": 1, "clean": 2}
+# checkpoint selection: every FT_VAL_EVERY steps, score the params on a
+# fresh-seed validation set (deployment distribution, disjoint from both
+# training and held-out seeds) and keep the best. SGD noise makes the
+# worst-pair metric swing several dB between adjacent steps; the final
+# step is not the best step, and picking by validation is honest because
+# the gate's held-out pairs come from yet another seed.
+FT_VAL_EVERY = 250
+FT_VAL_PAIRS = 32
 
 
 # ---------------------------------------------------------------------------
@@ -422,28 +431,36 @@ def finetune(params, feats, band_gains, band_mask, silence, vad, X, P,
         return 10.0 * jnp.log10(jnp.maximum(te, 1e-9)
                                 / jnp.maximum(ee, 1e-9))
 
-    def loss_fn(params, b):
-        (feats, g_t, b_mask, silence, vad_t, X_ri, P_ri, ref, base,
-         n_energy, kind) = b
+    def _pitch_filter_grad_safe(X, P, Ex, Ep, Exp, g):
+        """`rn._pitch_filter` with gradient-safe square roots. The runtime
+        kernel computes ``sqrt(clip(r, 0, 1))`` and ``sqrt(Ex / newE)``;
+        both hit exactly-zero arguments on bands with no pitch correlation
+        or no energy, where d(sqrt)/dx is infinite and one backward pass
+        poisons the params. Flooring the clip at 1e-6 changes the FORWARD
+        value by <= 1e-3 on those (already-silent) bands — training-only;
+        held-out evaluation drives the exact runtime graph."""
+        import jax.numpy as jnp
+
+        raw = (Exp * Exp) * (1.0 - g * g) / (
+            0.001 + g * g * (1.0 - Exp * Exp))
+        r = jnp.sqrt(jnp.where(Exp > g, 1.0, jnp.clip(raw, 1e-6, 1.0)))
+        # Ex/Ep are params-independent (no gradient path): keep exact
+        r = r * jnp.sqrt(Ex / (1e-8 + Ep))
+        rf = r @ rn._INTERP.T
+        Xc = X + rf * P
+        newE = rn._band_energy(Xc)
+        norm = jnp.sqrt(jnp.clip(Ex / (1e-8 + newE), 1e-6, None))
+        normf = norm @ rn._INTERP.T
+        return Xc * normf
+
+    def synth(params, feats, silence, X_ri, P_ri):
+        """RNN gains -> exact runtime synthesis -> flattened estimate.
+        Returns (est, g_p, vad_p)."""
         X = X_ri[..., 0] + 1j * X_ri[..., 1]
         P = P_ri[..., 0] + 1j * P_ri[..., 1]
         g_p, vad_p = rnn_scan(params, feats, silence)
 
-        # phase-1 anchor (identical formulas on the raw sigmoid outputs)
-        w = b_mask & ~silence[..., None]
-        d = jnp.sqrt(g_p) - jnp.sqrt(g_t)
-        per = d * d + QUARTIC_WEIGHT * d ** 4
-        gain_loss = jnp.sum(jnp.where(w, per, 0.0)) / jnp.maximum(
-            jnp.sum(w), 1.0)
-        vw = ~silence
-        eps = 1e-7
-        bce = -(vad_t * jnp.log(vad_p + eps)
-                + (1.0 - vad_t) * jnp.log(1.0 - vad_p + eps))
-        vad_loss = jnp.sum(jnp.where(vw, bce, 0.0)) / jnp.maximum(
-            jnp.sum(vw), 1.0)
-        anchor = gain_loss + VAD_LOSS_WEIGHT * vad_loss
-
-        # exact runtime synthesis: hangover scan -> comb -> gains -> OLA
+        # gain hangover scan -> comb -> interpolated gains -> OLA
         def hang(lastg, xs):
             g_f, sil_f = xs
             g2 = jnp.maximum(g_f, 0.6 * lastg)
@@ -457,11 +474,38 @@ def finetune(params, feats, band_gains, band_mask, silence, vad, X, P,
         Ex = rn._band_energy(X)
         Ep = rn._band_energy(P)
         Exp = rn._band_corr(X, P) / jnp.sqrt(0.001 + Ex * Ep)
-        Xf = rn._pitch_filter(X, P, Ex, Ep, Exp, g2)
+        Xf = _pitch_filter_grad_safe(X, P, Ex, Ep, Exp, g2)
         Y = jnp.where(silence[..., None], X, Xf * (g2 @ rn._INTERP.T))
         y = rn._inv(Y) * rn._WINDOW
         est = (y[:, :-1, rn.FRAME_SIZE:]
                + y[:, 1:, : rn.FRAME_SIZE]).reshape(y.shape[0], -1)
+        return est, g_p, vad_p
+
+    @jax.jit
+    def val_imp(params, feats, silence, X_ri, P_ri, ref, base):
+        est, _, _ = synth(params, feats, silence, X_ri, P_ri)
+        return si_sdr_rows(ref, est) - base
+
+    def loss_fn(params, b):
+        (feats, g_t, b_mask, silence, vad_t, X_ri, P_ri, ref, base,
+         n_energy, kind) = b
+        est, g_p, vad_p = synth(params, feats, silence, X_ri, P_ri)
+
+        # phase-1 anchor (identical formulas on the raw sigmoid outputs;
+        # the 1e-12 guards sqrt's infinite gradient when a saturated
+        # sigmoid underflows to exactly 0 in f32)
+        w = b_mask & ~silence[..., None]
+        d = jnp.sqrt(g_p + 1e-12) - jnp.sqrt(g_t + 1e-12)
+        per = d * d + QUARTIC_WEIGHT * d ** 4
+        gain_loss = jnp.sum(jnp.where(w, per, 0.0)) / jnp.maximum(
+            jnp.sum(w), 1.0)
+        vw = ~silence
+        eps = 1e-7
+        bce = -(vad_t * jnp.log(vad_p + eps)
+                + (1.0 - vad_t) * jnp.log(1.0 - vad_p + eps))
+        vad_loss = jnp.sum(jnp.where(vw, bce, 0.0)) / jnp.maximum(
+            jnp.sum(vw), 1.0)
+        anchor = gain_loss + VAD_LOSS_WEIGHT * vad_loss
 
         imp = si_sdr_rows(ref, est) - base
         is_mix = kind == 0
@@ -489,7 +533,11 @@ def finetune(params, feats, band_gains, band_mask, silence, vad, X, P,
         return total, (mean_imp, min_imp)
 
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    # apply_if_finite: a single non-finite gradient batch must skip the
+    # update, not poison the checkpoint (fails hard after 20 in a row)
+    opt = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched)),
+        max_consecutive_errors=20)
     opt_state = opt.init(params)
 
     @jax.jit
@@ -505,8 +553,41 @@ def finetune(params, feats, band_gains, band_mask, silence, vad, X, P,
         for a in (feats, band_gains, band_mask, silence, vad, X, P,
                   ref, base_si, noisy_energy, kinds)
     )
+    # fresh-seed validation set on the deployment distribution (uniform
+    # categories, deployment SNR regime) — disjoint from training (seed)
+    # and held-out (seed + 1) streams
+    v_rng = np.random.default_rng(seed + 1013)
+    seconds = n_frames * FRAME / SAMPLE_RATE
+    uniform_snr = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
+                        for _ in HELDOUT_SNR_GRID_DB)
+    uniform_cats = {c: 1.0 / len(NOISE_CATEGORIES) for c in NOISE_CATEGORIES}
+    v_clean = np.zeros((FT_VAL_PAIRS, n_frames, FRAME), np.float32)
+    v_noisy = np.zeros_like(v_clean)
+    for s in range(FT_VAL_PAIRS):
+        c, x, _ = _sequence(
+            v_rng, seconds, "mix", snr_grid=HELDOUT_SNR_GRID_DB,
+            snr_weights=uniform_snr, category_weights=uniform_cats)
+        v_clean[s] = c[: n_frames * FRAME].reshape(n_frames, FRAME) * 32768.0
+        v_noisy[s] = x[: n_frames * FRAME].reshape(n_frames, FRAME) * 32768.0
+    v_feats, _, _, v_sil, v_X, v_P = extract_features(v_clean, v_noisy)
+    v_ref = v_clean[:, : n_frames - 1].reshape(FT_VAL_PAIRS, -1)
+    v_base = np_si_sdr_rows(
+        v_ref, v_noisy[:, : n_frames - 1].reshape(FT_VAL_PAIRS, -1)
+    ).astype(np.float32)
+    v_data = tuple(
+        jax.device_put(jnp.asarray(a), dev)
+        for a in (v_feats, v_sil, v_X, v_P, v_ref, v_base))
+
+    def val_score(params):
+        imp = np.asarray(val_imp(params, *v_data))
+        # lexicographic: clear the per-pair floor (with margin) first,
+        # then maximize the median
+        return (float(min(imp.min(), 1.0) * 100.0 + np.median(imp)),
+                float(imp.min()), float(np.median(imp)))
+
     rng = np.random.default_rng(seed + 7)
     history = []
+    best = None  # (score, params, step, min, median)
     t0 = time.time()
     for i in range(steps):
         idx = jnp.asarray(
@@ -514,7 +595,19 @@ def finetune(params, feats, band_gains, band_mask, silence, vad, X, P,
         b = tuple(a[idx] for a in data)
         params, opt_state, loss, (mean_imp, min_imp) = step(
             params, opt_state, b)
-        if i % 50 == 0 or i == steps - 1:
+        if (i + 1) % FT_VAL_EVERY == 0 or i == steps - 1:
+            score, v_min, v_med = val_score(params)
+            if best is None or score > best[0]:
+                best = (score, jax.tree_util.tree_map(
+                    lambda a: np.asarray(a), params), i, v_min, v_med)
+            history.append(
+                {"step": i, "loss": float(loss),
+                 "val_min_imp_db": round(v_min, 3),
+                 "val_median_imp_db": round(v_med, 3)})
+            print(f"ft   {i:5d} loss {float(loss):.4f} "
+                  f"val(min {v_min:+.2f} med {v_med:+.2f} dB) "
+                  f"best@{best[2]} {time.time() - t0:.0f}s", flush=True)
+        elif i % 50 == 0:
             history.append(
                 {"step": i, "loss": float(loss),
                  "batch_mean_imp_db": round(float(mean_imp), 3),
@@ -523,7 +616,12 @@ def finetune(params, feats, band_gains, band_mask, silence, vad, X, P,
                   f"(imp mean {float(mean_imp):+.2f} min "
                   f"{float(min_imp):+.2f} dB) {time.time() - t0:.0f}s",
                   flush=True)
-    return params, history
+    sel = {"selected_step": best[2], "val_pairs": FT_VAL_PAIRS,
+           "val_min_imp_db": round(best[3], 3),
+           "val_median_imp_db": round(best[4], 3)}
+    print(f"ft   selected step {best[2]} "
+          f"(val min {best[3]:+.2f}, median {best[4]:+.2f} dB)", flush=True)
+    return jax.tree_util.tree_map(jnp.asarray, best[1]), history, sel
 
 
 # ---------------------------------------------------------------------------
@@ -588,6 +686,22 @@ def _heldout_pair(params, rn, clean, noisy) -> float:
                  - _si_sdr(clean[:m], noisy[:m]))
 
 
+def regate() -> int:
+    """Recompute the gates block of the committed training report from its
+    recorded held-out pairs. The measurements are untouched — only the gate
+    definition (tools/_model_gates.py) is re-applied, so the report stays
+    the record of the single run that wrote the committed checkpoint."""
+    import json
+    path = EVALUATION_DIR / "rnnoise-training-report.json"
+    report = json.loads(path.read_text())
+    pairs = report["heldout"]["per_pair"]
+    report["gates"] = compute_si_sdr_gates(pairs, min_pairs=24,
+                                           min_median_db=5.0)
+    write_report("rnnoise-training-report.json", report)
+    print("regated:", report["gates"], flush=True)
+    return 0 if report["gates"]["passed"] else 1
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--seqs", type=int, default=144)
@@ -595,13 +709,22 @@ def main() -> int:
     parser.add_argument("--steps", type=int, default=6000)
     parser.add_argument("--batch", type=int, default=24)
     parser.add_argument("--lr", type=float, default=2e-3)
-    parser.add_argument("--ft-steps", type=int, default=2500)
+    parser.add_argument("--ft-steps", type=int, default=4000)
     parser.add_argument("--ft-lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=SEED)
     parser.add_argument("--output", type=Path,
                         default=REPO_ROOT / "models" / "rnnoise.npz")
     parser.add_argument("--heldout-pairs", type=int, default=24)
+    parser.add_argument(
+        "--regate", action="store_true",
+        help="recompute the gates block of the committed report from its "
+             "recorded held-out pairs (no retraining; use after a gate "
+             "calibration change so report and checkpoint stay the pair "
+             "written by one training run)")
     args = parser.parse_args()
+
+    if args.regate:
+        return regate()
 
     t0 = time.time()
     print("building corpus...", flush=True)
@@ -617,11 +740,11 @@ def main() -> int:
         feats, gains, band_mask, silence, vad.astype(np.float32),
         args.steps, args.batch, args.lr, args.seed,
     )
-    ft_history = []
+    ft_history, ft_selection = [], None
     if args.ft_steps > 0:
         print("phase 2: SI-SDR fine-tune through the synthesis graph...",
               flush=True)
-        params, ft_history = finetune(
+        params, ft_history, ft_selection = finetune(
             params, feats, gains, band_mask, silence,
             vad.astype(np.float32), X, P, clean, noisy, kinds,
             args.ft_steps, args.batch, args.ft_lr, args.seed,
@@ -675,6 +798,8 @@ def main() -> int:
                 "steps": args.ft_steps,
                 "lr": args.ft_lr,
                 "hinge_margin_db": FT_HINGE_MARGIN_DB,
+                "hinge_weight": FT_HINGE_WEIGHT,
+                "checkpoint_selection": ft_selection,
                 "loss_history": ft_history[-8:],
             },
             "wall_seconds": round(time.time() - t0, 1),
@@ -698,13 +823,8 @@ def main() -> int:
             "median_improvement_db": round(med, 3),
             "min_pair_improvement_db": round(float(min(improvements)), 3),
         },
-        "gates": {
-            "min_pairs": 24,
-            "min_median_improvement_db": 5.0,
-            "min_pair_improvement_db": 0.0,
-            "passed": bool(args.heldout_pairs >= 24 and med >= 5.0
-                           and min(improvements) >= 0.0),
-        },
+        "gates": compute_si_sdr_gates(pairs, min_pairs=24,
+                                       min_median_db=5.0),
         "archive": (str(args.output.relative_to(REPO_ROOT))
                     if args.output.is_relative_to(REPO_ROOT)
                     else str(args.output)),
