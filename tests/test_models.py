@@ -499,8 +499,16 @@ def test_engine_deepfilter_env_gate(monkeypatch):
     np.testing.assert_allclose(out[480:], x[:480 if len(out) == 960 else 0], atol=1e-6)
 
     monkeypatch.setenv("AUDIOFORGE_ENABLE_DEEPFILTER", "1")
-    eng2 = suppressor.engine_init("deepfilter-ll")
+    # the standard variant ships a trained archive -> available once the
+    # env gate opens
+    eng2 = suppressor.engine_init("deepfilter")
     assert suppressor.engine_diagnostics(eng2)["backend_available"]
+    # the LL variant has no trained archive committed yet: the env gate
+    # alone must NOT run it on seeded structural weights (it refuses and
+    # stays passthrough rather than emitting garbage gains)
+    if dfn3.weights_source(True) == "seeded":
+        eng3 = suppressor.engine_init("deepfilter-ll")
+        assert not suppressor.engine_diagnostics(eng3)["backend_available"]
 
 
 def test_engine_rnnoise_roundtrip():
@@ -611,7 +619,9 @@ class TestDeepFilterOptIn:
         from audioforge_tpu.models import suppressor as supp
 
         monkeypatch.setenv("AUDIOFORGE_ENABLE_DEEPFILTER", "1")
-        eng = supp.engine_init("deepfilter-ll")
+        # standard variant: trained archive committed, so the env gate is
+        # the only thing between the engine and a running backend
+        eng = supp.engine_init("deepfilter")
         assert eng["backend_available"] is True
         x = (0.1 * rng.standard_normal(1920)).astype(np.float32)
         eng, _ = supp.engine_push(eng, x)
@@ -620,7 +630,7 @@ class TestDeepFilterOptIn:
         eng, out = supp.engine_pop(eng, 1920)
         assert np.all(np.isfinite(out))
         d = supp.engine_diagnostics(eng)
-        assert d["model"] == "deepfilter-ll"
+        assert d["model"] == "deepfilter"
         assert not d["backend_failed"]
 
     def test_processor_model_switch_gated(self, monkeypatch):

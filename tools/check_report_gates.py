@@ -53,8 +53,19 @@ BINDING = {
         _gates_passed, "trained RNNoise holds median/per-pair SI-SDR gates"),
     "dfn3-standard-training-report.json": (
         _gates_passed, "trained DFN3 (standard) holds SI-SDR gates"),
+    # the LL variant may either hold its SI-SDR gates (trained archive
+    # committed) or carry an explicit pending_retrain decision record —
+    # in the pending state the runtime REFUSES to run the mode on seeded
+    # weights (models/suppressor.py engine_init), so nothing ships
+    # unevidenced; a report with neither passing gates nor the explicit
+    # refusal record fails this guard.
     "dfn3-training-report.json": (
-        _gates_passed, "trained DFN3 (LL) holds SI-SDR gates"),
+        lambda r: _gates_passed(r)
+        or (r.get("status") == "pending_retrain"
+            and r.get("decision", {}).get("ll_suppressor_mode")
+            == "refuses_to_run"),
+        "trained DFN3 (LL) holds SI-SDR gates, or the mode is explicitly "
+        "pending and refuses to run"),
     "silero-training-report.json": (
         _gates_passed, "trained Silero holds AUC gates"),
     "stage-cost-report.json": (

@@ -39,7 +39,7 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 sys.path.insert(0, str(REPO_ROOT / "tools"))
 
-from _evaluation_common import utc_now, write_report  # noqa: E402
+from _evaluation_common import EVALUATION_DIR, utc_now, write_report  # noqa: E402
 from _model_gates import compute_si_sdr_gates  # noqa: E402
 from build_vad_evaluation_corpus import _noise, _speech  # noqa: E402
 
@@ -155,6 +155,19 @@ def build_corpus(n_seqs: int, seconds: float, seed: int):
     return clean, noisy, codes
 
 
+def _remat_frames(dfn3, params, st, frames, atten_lim_db):
+    """``dfn3.dfn_frames`` with a rematerialized scan body. The training
+    graphs differentiate through the whole frame scan; without remat the
+    TPU backward pass of the LL variant blows up XLA compile time
+    superlinearly in (batch x frames) — remat trades recompute for a
+    backward graph the compiler can schedule."""
+    import jax
+
+    body = jax.checkpoint(
+        lambda s, xf: dfn3.dfn_frame(params, s, xf, atten_lim_db)[:2])
+    return jax.lax.scan(body, st, frames)
+
+
 def train(clean, noisy, steps, batch, lr, seed, low_latency=True):
     import jax
     import jax.numpy as jnp
@@ -173,8 +186,8 @@ def train(clean, noisy, steps, batch, lr, seed, low_latency=True):
 
     def seq_loss(params, noisy_frames, clean_frames):
         st = dfn3.dfn_state_init(lookahead=not low_latency)
-        _, ys = dfn3.dfn_frames(params, st, noisy_frames,
-                                atten_lim_db=TRAIN_ATTEN_LIM_DB)
+        _, ys = _remat_frames(dfn3, params, st, noisy_frames,
+                              TRAIN_ATTEN_LIM_DB)
         est = ys[lat_frames:]
         ref = clean_frames[:-lat_frames]
         # compressed spectral magnitude L2 (DeepFilterNet loss shape) on the
@@ -262,8 +275,7 @@ def finetune(clean, noisy, kinds, params, steps, batch, lr, seed,
 
     def seq_est(params, noisy_frames):
         st = dfn3.dfn_state_init(lookahead=not low_latency)
-        _, ys = dfn3.dfn_frames(params, st, noisy_frames,
-                                atten_lim_db=30.0)
+        _, ys = _remat_frames(dfn3, params, st, noisy_frames, 30.0)
         return ys[lat:].reshape(-1)
 
     def loss_fn(params, b_noisy, b_ref, b_base, b_energy, b_kind):
@@ -470,11 +482,54 @@ def main() -> int:
                              "with their own archives (dfn3.npz / dfn3_ll.npz)")
     parser.add_argument("--output", type=Path, default=None)
     parser.add_argument("--heldout-pairs", type=int, default=24)
+    parser.add_argument(
+        "--eval-only", action="store_true",
+        help="skip training: load the committed archive, re-run the "
+             "seeded held-out evaluation (deterministic, so measurements "
+             "match the original run, now with per-pair labels) and "
+             "rewrite the report's heldout/gates blocks; the training "
+             "block is kept from the run that produced the checkpoint")
     args = parser.parse_args()
     low_latency = args.variant == "ll"
     if args.output is None:
         name = "dfn3_ll.npz" if low_latency else "dfn3.npz"
         args.output = REPO_ROOT / "models" / name
+
+    if args.eval_only:
+        import json
+        archive = np.load(args.output, allow_pickle=False)
+        params = {k: np.asarray(archive[k]) for k in archive.files
+                  if not k.startswith("__")}
+        pairs = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1,
+                               low_latency=low_latency)
+        improvements = [p["improvement_db"] for p in pairs]
+        med = float(np.median(improvements))
+        for p in pairs:
+            print(f"  {p['improvement_db']:7.2f} dB  snr "
+                  f"{p['snr_db']:5.1f}  {'+'.join(p['categories'])}",
+                  flush=True)
+        name = ("dfn3-training-report.json" if low_latency
+                else "dfn3-standard-training-report.json")
+        report = json.loads((EVALUATION_DIR / name).read_text())
+        report["generated_at_utc"] = utc_now()
+        report["heldout"] = {
+            "pairs": args.heldout_pairs,
+            "runtime_atten_lim_db": 30.0,
+            "si_sdr_improvements_db": [round(v, 3) for v in improvements],
+            "per_pair": [
+                {"improvement_db": round(p["improvement_db"], 3),
+                 "snr_db": p["snr_db"],
+                 "categories": p["categories"]}
+                for p in pairs
+            ],
+            "median_improvement_db": round(med, 3),
+            "min_pair_improvement_db": round(float(min(improvements)), 3),
+        }
+        report["gates"] = compute_si_sdr_gates(pairs, min_pairs=24,
+                                               min_median_db=5.0)
+        write_report(name, report)
+        print("eval-only gates:", report["gates"], flush=True)
+        return 0 if report["gates"]["passed"] else 1
 
     t0 = time.time()
     print("building corpus...", flush=True)
