@@ -28,7 +28,23 @@ if str(REPO_ROOT) not in sys.path:
 
 from tools._evaluation_common import EVALUATION_DIR, utc_now, write_report  # noqa: E402
 
+# import the package BEFORE any jax API touch: the package __init__ applies
+# the AUDIOFORGE_PLATFORM pin, and jax.devices() below must not bind the
+# process to a different backend first
+from audioforge_tpu.cache import enable_compile_cache  # noqa: E402
+
 BLOCK_PERIOD_S = 480 / 48000.0
+
+
+def _shape_for(platform: str):
+    """Measurement shape: the headline fleet on accelerators; a reduced
+    advisory shape on CPU hosts (the gate does not bind there and the
+    full fleet is hours of wall clock on a 1-core host)."""
+    if platform == "cpu":
+        return 32, 20, 2  # fleet, span_blocks, repeats
+    return 1024, 100, 5
+
+
 FLEET = 1024
 SPAN_BLOCKS = 100
 REPEATS = 5
@@ -111,6 +127,8 @@ def evaluate() -> dict:
 
     platform = jax.devices()[0].platform
     binding = platform != "cpu"
+    global FLEET, SPAN_BLOCKS, REPEATS
+    FLEET, SPAN_BLOCKS, REPEATS = _shape_for(platform)
 
     rows = []
     prev_total = 0.0
@@ -173,6 +191,7 @@ def evaluate() -> dict:
 
 
 def main() -> int:
+    enable_compile_cache()
     report = evaluate()
     write_report("stage-cost-report.json", report)
     print(json.dumps({
