@@ -115,20 +115,30 @@ def _case_matrix() -> tuple[DeEsserCorpusCase, ...]:
 CORPUS_CASES = _case_matrix()
 
 
+def _half_sine_edge(frequencies: np.ndarray, edge_hz: float,
+                    transition_hz: float, rising: bool) -> np.ndarray:
+    """Quarter-sine spectral ramp: 0 at the stopband side of ``edge_hz``,
+    1 once ``transition_hz`` past it."""
+    if rising:
+        t = np.clip((frequencies - edge_hz) / transition_hz, 0.0, 1.0)
+    else:
+        t = np.clip((edge_hz - frequencies) / transition_hz, 0.0, 1.0)
+    return np.sin(0.5 * np.pi * t)
+
+
 def _band_limited_noise(rng, sample_count: int, sample_rate: int,
                         low_hz: float, high_hz: float) -> np.ndarray:
-    """Unit-RMS noise band with sine-tapered edges
-    (`deesser_corpus.py:107-126`)."""
-    white = rng.normal(size=sample_count)
-    spectrum = np.fft.rfft(white)
-    frequencies = np.fft.rfftfreq(sample_count, 1.0 / sample_rate)
+    """Unit-RMS noise band with sine-tapered edges (the corpus-spec band
+    shape behind the committed fixture hashes; same parameterization as
+    the reference corpus, `deesser_corpus.py:107-126`)."""
     transition_hz = max(150.0, 0.08 * (high_hz - low_hz))
-    lower = np.clip((frequencies - low_hz) / transition_hz, 0.0, 1.0)
-    upper = np.clip((high_hz - frequencies) / transition_hz, 0.0, 1.0)
-    taper = np.sin(0.5 * np.pi * lower) * np.sin(0.5 * np.pi * upper)
-    filtered = np.fft.irfft(spectrum * taper, n=sample_count)
-    rms = float(np.sqrt(np.mean(filtered * filtered)))
-    return filtered / max(rms, 1e-9)
+    frequencies = np.fft.rfftfreq(sample_count, 1.0 / sample_rate)
+    taper = (_half_sine_edge(frequencies, low_hz, transition_hz, True)
+             * _half_sine_edge(frequencies, high_hz, transition_hz, False))
+    shaped = np.fft.irfft(np.fft.rfft(rng.normal(size=sample_count)) * taper,
+                          n=sample_count)
+    rms = float(np.sqrt(np.mean(shaped * shaped)))
+    return shaped / max(rms, 1e-9)
 
 
 def _event_mask(time_s: np.ndarray,

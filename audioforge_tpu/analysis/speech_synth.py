@@ -44,6 +44,8 @@ __all__ = [
     "FRICATIVE_BANDS",
     "synthesize_utterance",
     "synthesize_babble",
+    "synthesize_plain_voice",
+    "synthesize_test_voice",
     "tone_confounder",
     "TONE_CONFOUNDER_KINDS",
 ]
@@ -322,3 +324,90 @@ def tone_confounder(rng, seconds: float, kind: str,
         x += 0.05 * rng.normal(size=n)
     rms = float(np.sqrt(np.mean(x * x)))
     return (x / max(rms, 1e-9)).astype(np.float32)
+
+
+def synthesize_plain_voice(rng, seconds: float,
+                           sample_rate: int = SAMPLE_RATE):
+    """Clean "recording-booth" pulse-train voice: a rectangular glottal
+    source with slow vibrato through three *static* formant resonances,
+    near-noiseless, gated by a slow utterance envelope.
+
+    This family sits exactly between :func:`synthesize_utterance` (rich
+    syllabic speech) and :func:`tone_confounder` (steady harmonic
+    complexes): strongly periodic, spectrally static, but still speech.
+    The analysis layer's voiced-capture validation exercises signals of
+    this family, so the VAD trainer includes them as explicit positives —
+    a discriminator trained with harmonic-tone hard negatives alone
+    learns "static harmonic complex => not speech" and silently breaks
+    Auto-EQ's voiced-window selection (round-4 regression).
+
+    Returns ``(audio float32 peak ~0.2, active bool mask per sample)``.
+    """
+    n = int(round(seconds * sample_rate))
+    t = np.arange(n) / float(sample_rate)
+    f0_base = float(rng.uniform(100.0, 210.0))
+    vib_rate = float(rng.uniform(0.4, 1.2))
+    vib_depth = float(rng.uniform(8.0, 28.0))
+    f0 = f0_base + vib_depth * np.sin(2.0 * np.pi * vib_rate * t
+                                      + rng.uniform(0.0, 6.28))
+    phase = np.cumsum(f0) / float(sample_rate)
+    duty = float(rng.uniform(0.3, 0.5))
+    glottal = (np.mod(phase, 1.0) < duty).astype(np.float64) - duty
+    formants = (
+        float(rng.uniform(420.0, 640.0)),
+        float(rng.uniform(1250.0, 1800.0)),
+        float(rng.uniform(2200.0, 2900.0)),
+    )
+    bws = (
+        float(rng.uniform(60.0, 110.0)),
+        float(rng.uniform(90.0, 160.0)),
+        float(rng.uniform(140.0, 220.0)),
+    )
+    x = glottal
+    for fc, bw in zip(formants, bws):
+        x = _resonator(x, fc, bw, float(sample_rate))
+    x = x + float(rng.uniform(0.01, 0.05)) * rng.standard_normal(n)
+    # slow utterance gating: speech bursts with pauses
+    env_rate = float(rng.uniform(0.7, 1.4))
+    env_duty = float(rng.uniform(0.5, 0.8))
+    env_phase = float(rng.uniform(0.0, 1.0))
+    env = (np.mod(t * env_rate + env_phase, 1.0) < env_duty)
+    x = x * env.astype(np.float64)
+    peak = float(np.max(np.abs(x)))
+    x = float(rng.uniform(0.12, 0.3)) * x / max(peak, 1e-9)
+    return x.astype(np.float32), env
+
+
+def synthesize_test_voice(duration_s: float = 4.0, seed: int = 0,
+                          shape_filter=None,
+                          sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """The analysis suite's canonical speech-like capture: a rectangular
+    glottal pulse train with slow vibrato through three fixed formant
+    resonances, light noise, and a 0.65-duty utterance envelope.
+
+    This is the exact signal family `tests/test_analysis.py` drives
+    Auto-EQ with, exported here so the VAD trainer's downstream
+    voiced-capture gate exercises the SAME family the tests validate —
+    a checkpoint can only ship if Auto-EQ still accepts these captures
+    (the round-4 regression shipped because the trainer's corpus and the
+    analysis tests used different clean-voice families).
+    """
+    from scipy.signal import lfilter
+
+    rng = np.random.default_rng(seed)
+    n = int(sample_rate * duration_s)
+    t = np.arange(n) / sample_rate
+    f0 = 120.0 + 20.0 * np.sin(2 * np.pi * 0.7 * t)
+    phase = np.cumsum(f0) / sample_rate
+    x = (np.mod(phase, 1.0) < 0.4).astype(np.float64) - 0.4
+    for fc, bw in ((500, 80), (1500, 120), (2500, 180)):
+        r = np.exp(-np.pi * bw / sample_rate)
+        a = [1, -2 * r * np.cos(2 * np.pi * fc / sample_rate), r * r]
+        x = lfilter([1 - r], a, x)
+    x += 0.02 * rng.standard_normal(n)
+    env = ((t % 1.0) < 0.65).astype(np.float64)
+    x = x * env
+    x = 0.2 * x / np.max(np.abs(x))
+    if shape_filter is not None:
+        x = shape_filter(x)
+    return x.astype(np.float32)

@@ -17,28 +17,12 @@ FS = 48000
 
 def synth_voice(duration_s=4.0, seed=0, shape_filter=None):
     """Speech-like synthetic: pulse train through formant-ish resonances with
-    pauses, optionally spectrally shaped."""
-    rng = np.random.default_rng(seed)
-    n = int(FS * duration_s)
-    t = np.arange(n) / FS
-    f0 = 120.0 + 20.0 * np.sin(2 * np.pi * 0.7 * t)
-    phase = np.cumsum(f0) / FS
-    glottal = (np.mod(phase, 1.0) < 0.4).astype(np.float64) - 0.4
-    # formant resonances via simple IIR peaks
-    from scipy.signal import lfilter
+    pauses, optionally spectrally shaped. Shared with the VAD trainer's
+    downstream voiced-capture gate (`tools/train_silero_weights.py`) so a
+    weight retrain is gated on exactly the captures these tests validate."""
+    from audioforge_tpu.analysis.speech_synth import synthesize_test_voice
 
-    x = glottal
-    for fc, bw in ((500, 80), (1500, 120), (2500, 180)):
-        r = np.exp(-np.pi * bw / FS)
-        a = [1, -2 * r * np.cos(2 * np.pi * fc / FS), r * r]
-        x = lfilter([1 - r], a, x)
-    x += 0.02 * rng.standard_normal(n)
-    env = ((t % 1.0) < 0.65).astype(np.float64)
-    x = x * env
-    x = 0.2 * x / np.max(np.abs(x))
-    if shape_filter is not None:
-        x = shape_filter(x)
-    return x.astype(np.float32)
+    return synthesize_test_voice(duration_s, seed, shape_filter, FS)
 
 
 def test_spectrum_basic_contract():

@@ -25,12 +25,20 @@ miscalibrated for this model class:
 
 Recalibrated gate (still falsifiable — a bad checkpoint fails all of it):
 
-- every pair whose noise mix contains NO babble must improve >= 0 dB
-  (strictly harder than the reference's relative gate);
-- pairs containing babble must stay above a bounded-degradation floor of
-  -4 dB (the model may not wreck speech it cannot separate);
+- every pair whose noise mix is not *pure babble* must improve >= 0 dB
+  (strictly harder than the reference's relative gate). This includes
+  mixed pairs like babble+hum: when half the noise energy is separable
+  stationary noise, removing it alone already yields a positive SI-SDR
+  improvement, so the separation argument below does not license a
+  negative floor for them (r5 tightening per ADVICE r4 — previously any
+  babble-containing mix got the lenient floor);
+- pairs whose ONLY masker is babble must stay above a bounded-degradation
+  floor of -4 dB (the model may not wreck speech it cannot separate);
 - the overall median across the uniform deployment distribution must stay
-  >= the per-model bar (5 dB for the denoisers), unchanged from r3.
+  >= the per-model bar (5 dB for the denoisers), unchanged from r3;
+- both masker classes must be represented in the held-out draw (>= 4
+  pure-babble and >= 12 non-babble pairs) so an unlucky draw cannot be
+  gated almost entirely by the lenient floor plus the median (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -39,20 +47,25 @@ import numpy as np
 
 NONBABBLE_FLOOR_DB = 0.0
 BABBLE_FLOOR_DB = -4.0
+MIN_BABBLE_PAIRS = 4
+MIN_NONBABBLE_PAIRS = 12
 
 CALIBRATION_NOTE = (
-    "per-pair floor split by masker class (r4 decision record, see "
-    "tools/_model_gates.py): non-babble pairs must improve >= 0 dB; "
-    "babble-containing pairs — same-synthesizer competing speech that a "
-    "single-channel mask-based suppressor cannot separate, a regime the "
-    "reference's own real-recording 0 dB corpus never gates — are held to "
-    "a bounded-degradation floor of -4 dB instead"
+    "per-pair floor split by masker class (r4 decision record, r5 "
+    "tightening, see tools/_model_gates.py): every pair that is not pure "
+    "babble — including babble+stationary mixes, where the separable "
+    "half of the noise energy alone buys a positive improvement — must "
+    "improve >= 0 dB; pure-babble pairs — same-synthesizer competing "
+    "speech that a single-channel mask-based suppressor cannot separate, "
+    "a regime the reference's own real-recording 0 dB corpus never gates "
+    "— are held to a bounded-degradation floor of -4 dB instead; both "
+    "classes must be represented (>= 4 / >= 12 pairs)"
 )
 
 
 def _floor_db(categories) -> float:
-    return (BABBLE_FLOOR_DB if any("babble" in c for c in categories)
-            else NONBABBLE_FLOOR_DB)
+    cats = set(categories)
+    return BABBLE_FLOOR_DB if cats == {"babble"} else NONBABBLE_FLOOR_DB
 
 
 def compute_si_sdr_gates(per_pair, *, min_pairs: int = 24,
@@ -73,6 +86,8 @@ def compute_si_sdr_gates(per_pair, *, min_pairs: int = 24,
                     if babble else float("inf"))
     passed = (len(pairs) >= min_pairs
               and med >= min_median_db
+              and len(babble) >= MIN_BABBLE_PAIRS
+              and len(nonbabble) >= MIN_NONBABBLE_PAIRS
               and worst_nonbabble >= NONBABBLE_FLOOR_DB
               and worst_babble >= BABBLE_FLOOR_DB)
     return {
@@ -80,6 +95,10 @@ def compute_si_sdr_gates(per_pair, *, min_pairs: int = 24,
         "min_median_improvement_db": min_median_db,
         "min_nonbabble_pair_improvement_db": NONBABBLE_FLOOR_DB,
         "min_babble_pair_improvement_db": BABBLE_FLOOR_DB,
+        "min_babble_pairs": MIN_BABBLE_PAIRS,
+        "min_nonbabble_pairs": MIN_NONBABBLE_PAIRS,
+        "babble_pairs": len(babble),
+        "nonbabble_pairs": len(nonbabble),
         "worst_nonbabble_pair_db": (round(worst_nonbabble, 3)
                                     if nonbabble else None),
         "worst_babble_pair_db": (round(worst_babble, 3)

@@ -29,14 +29,6 @@ def _gates_passed(report: dict) -> bool:
     return isinstance(gates, dict) and gates.get("passed") is True
 
 
-def _gate_bools_true(report: dict) -> bool:
-    gates = report.get("gates")
-    if not isinstance(gates, dict):
-        return False
-    bools = [v for v in gates.values() if isinstance(v, bool)]
-    return bool(bools) and all(bools)
-
-
 def _decision_status_pass(report: dict) -> bool:
     return report.get("decision", {}).get("status") == "pass"
 
@@ -68,21 +60,87 @@ BINDING = {
         "pending and refuses to run"),
     "silero-training-report.json": (
         _gates_passed, "trained Silero holds AUC gates"),
+    # stage-cost must hold its gate AND be an accelerator record: a CPU
+    # regeneration is advisory-only (binding=false) and satisfies the
+    # regression gate vacuously, which protects nothing (ADVICE r4)
     "stage-cost-report.json": (
-        _gates_passed, "no per-stage cost regression beyond +15%"),
+        lambda r: _gates_passed(r) and r.get("gates", {}).get("binding") is True,
+        "no per-stage cost regression beyond +15% (accelerator record)"),
     "serving-harness-report.json": (
         _decision_status_pass, "fleet serving sustains realtime per stream"),
     "fleet-sharding-report.json": (
         _decision_status_pass, "sharded sweep parity on the device mesh"),
     "hardware-validation-report.json": (
         _hardware_pass, "throughput/self-test/stress/host-health gates"),
+    # the gate schema is platform-invariant; "binding_gates" names the
+    # subset that binds for the committed record's platform (the 10 ms
+    # control deadline binds only on accelerator-generated records)
     "auto-makeup-real-speech-report.json": (
-        _gate_bools_true, "candidate-vs-fallback auto-makeup gates"),
+        lambda r: (isinstance(r.get("gates"), dict)
+                   and isinstance(r.get("binding_gates"), list)
+                   and bool(r["binding_gates"])
+                   and all(r["gates"].get(k) is True
+                           for k in r["binding_gates"])),
+        "candidate-vs-fallback auto-makeup gates"),
     # NOT binding: vad-model-selection-report.json and
     # cross-take-auto-eq-report.json are retention studies whose committed
     # "fail"/"reject" is itself the decision (candidate stays out of the
     # product), mirroring the reference's retention-study discipline.
 }
+
+
+# report filename -> source files whose changes invalidate the committed
+# evidence. A binding report is STALE when any of its evaluators has a
+# newer last-commit than the report itself (VERDICT r4 weak #3/#4: green
+# gates were resting on records the HEAD evaluator could not have
+# produced). Committing evaluator + regenerated report together is fresh
+# (equal commit time).
+EVALUATORS = {
+    "converted-weight-parity-report.json": [
+        "tools/evaluate_converted_weight_parity.py"],
+    "rnnoise-training-report.json": [
+        "tools/train_rnnoise_weights.py", "tools/_model_gates.py"],
+    "dfn3-standard-training-report.json": [
+        "tools/train_dfn3_weights.py", "tools/_model_gates.py"],
+    "dfn3-training-report.json": [
+        "tools/train_dfn3_weights.py", "tools/_model_gates.py"],
+    "silero-training-report.json": ["tools/train_silero_weights.py"],
+    "stage-cost-report.json": ["tools/evaluate_stage_costs.py"],
+    "serving-harness-report.json": ["tools/evaluate_serving_harness.py"],
+    "fleet-sharding-report.json": ["tools/evaluate_fleet_sharding.py"],
+    "hardware-validation-report.json": [
+        "tools/evaluate_hardware_validation.py"],
+    "auto-makeup-real-speech-report.json": [
+        "tools/evaluate_auto_makeup_real_speech.py"],
+}
+
+
+def _last_commit_unix(path: str) -> int | None:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", path],
+            cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    text = out.stdout.strip()
+    return int(text) if out.returncode == 0 and text else None
+
+
+def _staleness_problems() -> list[str]:
+    problems = []
+    for name, sources in sorted(EVALUATORS.items()):
+        report_t = _last_commit_unix(f"evaluation/{name}")
+        if report_t is None:
+            continue  # not committed yet; content checks still apply
+        for src in sources:
+            src_t = _last_commit_unix(src)
+            if src_t is not None and src_t > report_t:
+                problems.append(
+                    f"{name}: STALE — {src} committed after the report "
+                    "(regenerate the record under the HEAD evaluator)")
+    return problems
 
 
 def main() -> int:
@@ -99,12 +157,14 @@ def main() -> int:
             continue
         if not predicate(report):
             problems.append(f"{name}: binding gate FAILING ({description})")
+    problems.extend(_staleness_problems())
     if problems:
         print("report gate check FAILED:")
         for p in problems:
             print(f"  - {p}")
         return 1
-    print(f"report gate check passed ({len(BINDING)} binding reports)")
+    print(f"report gate check passed ({len(BINDING)} binding reports, "
+          "all fresh against their evaluators)")
     return 0
 
 

@@ -290,15 +290,17 @@ def main() -> int:
     }
     # the behavioral candidate-vs-fallback gates bind on every platform;
     # the 10 ms control deadline is an accelerator budget — on CPU hosts
-    # the measured value is recorded but advisory, the same discipline as
-    # the stage-cost and serving-harness timing gates
+    # the measured value is still recorded under the SAME schema (the
+    # gate set must not vary by generating host, ADVICE r4) but is
+    # excluded from the binding list, the same discipline as the
+    # stage-cost and serving-harness timing gates
     import jax
     platform_name = jax.default_backend()
     timing_binding = platform_name not in ("cpu",)
-    binding_gates = dict(gates)
-    if not timing_binding:
-        binding_gates.pop("p99_control_work_within_10ms_deadline")
-    retained = all(binding_gates.values())
+    binding_names = [k for k in gates
+                     if timing_binding
+                     or k != "p99_control_work_within_10ms_deadline"]
+    retained = all(gates[k] for k in binding_names)
 
     report = {
         "schema_version": 2,
@@ -318,14 +320,9 @@ def main() -> int:
         "retained": retained,
         "predefined_gates": PREDEFINED_GATES,
         "metrics": metrics,
-        "gates": binding_gates,
-        "advisory_gates": (
-            {} if timing_binding else {
-                "p99_control_work_within_10ms_deadline": gates[
-                    "p99_control_work_within_10ms_deadline"],
-                "note": "timing advisory on CPU hosts; binds on "
-                        "accelerator platforms",
-            }),
+        "gates": gates,
+        "binding_gates": binding_names,
+        "timing_gate_binding": timing_binding,
         "platform": platform_name,
         "cases": rows,
         "reference_context": {

@@ -45,9 +45,6 @@ def _shape_for(platform: str):
     return 1024, 100, 5
 
 
-FLEET = 1024
-SPAN_BLOCKS = 100
-REPEATS = 5
 MAX_REGRESSION = 0.15  # +15 % per-stage marginal cost
 
 # Cumulative stage ladder: each row enables one more stage on top of the
@@ -71,7 +68,8 @@ LADDER = (
 )
 
 
-def _measure(stages: dict) -> float:
+def _measure(stages: dict, fleet: int, span_blocks: int,
+             repeats: int) -> float:
     """Best-of-N fused per-block seconds for one ladder row."""
     import jax
     import jax.numpy as jnp
@@ -92,19 +90,19 @@ def _measure(stages: dict) -> float:
         limiter_enabled=stages.get("limiter", False),
     )
     eng = ServingEngine(ServingConfig(
-        capacity=FLEET,
+        capacity=fleet,
         suppressor_model="rnnoise" if stages.get("suppressor") else None,
         vad_enabled=stages.get("vad", False),
         chain=chain,
     ))
     rng = np.random.default_rng(0x57A6E)
     params = eng._device_params()
-    active = jnp.ones((FLEET,), jnp.bool_)
-    reset = jnp.zeros((FLEET,), jnp.bool_)
-    vp = jnp.zeros((FLEET,), jnp.float32)
-    va = jnp.zeros((FLEET,), jnp.bool_)
+    active = jnp.ones((fleet,), jnp.bool_)
+    reset = jnp.zeros((fleet,), jnp.bool_)
+    vp = jnp.zeros((fleet,), jnp.float32)
+    va = jnp.zeros((fleet,), jnp.bool_)
     xs = jnp.asarray(
-        (0.1 * rng.standard_normal((SPAN_BLOCKS, FLEET, BLOCK)))
+        (0.1 * rng.standard_normal((span_blocks, fleet, BLOCK)))
         .astype(np.float32))
 
     @jax.jit
@@ -115,11 +113,11 @@ def _measure(stages: dict) -> float:
 
     float(compute_only(params, eng._state, xs))  # compile
     best = 1e9
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         float(compute_only(params, eng._state, xs))
         best = min(best, time.perf_counter() - t0)
-    return best / SPAN_BLOCKS
+    return best / span_blocks
 
 
 def evaluate() -> dict:
@@ -127,13 +125,12 @@ def evaluate() -> dict:
 
     platform = jax.devices()[0].platform
     binding = platform != "cpu"
-    global FLEET, SPAN_BLOCKS, REPEATS
-    FLEET, SPAN_BLOCKS, REPEATS = _shape_for(platform)
+    fleet, span_blocks, repeats = _shape_for(platform)
 
     rows = []
     prev_total = 0.0
     for name, stages in LADDER:
-        per_block = _measure(stages)
+        per_block = _measure(stages, fleet, span_blocks, repeats)
         rows.append({
             "stage": name,
             "per_block_ms": round(per_block * 1000.0, 4),
@@ -173,13 +170,16 @@ def evaluate() -> dict:
         "generated_at_utc": utc_now(),
         "platform": platform,
         "configuration": {
-            "fleet": FLEET,
-            "span_blocks": SPAN_BLOCKS,
-            "repeats": REPEATS,
+            "fleet": fleet,
+            "span_blocks": span_blocks,
+            "repeats": repeats,
             "ladder": "cumulative; marginal = row minus previous row",
         },
         "stages": rows,
+        # on CPU hosts this is an advisory structural number at a reduced
+        # fleet, NOT the headline accelerator margin (see "binding")
         "full_chain_per_stream_realtime_margin": round(margin, 3),
+        "margin_is_headline": binding,
         "gates": {
             "binding": binding,
             "max_per_stage_regression": MAX_REGRESSION,

@@ -155,27 +155,52 @@ def build_corpus(n_seqs: int, seconds: float, seed: int):
     return clean, noisy, codes
 
 
-def _remat_frames(dfn3, params, st, frames, atten_lim_db):
-    """``dfn3.dfn_frames`` with a rematerialized scan body. The training
-    graphs differentiate through the whole frame scan; without remat the
-    TPU backward pass of the LL variant blows up XLA compile time
-    superlinearly in (batch x frames) — remat trades recompute for a
-    backward graph the compiler can schedule."""
+def _remat_frames(dfn3, params, st, frames, atten_lim_db, chunk=0):
+    """``dfn3.dfn_frames`` with a rematerialized scan body, optionally
+    with truncated BPTT.
+
+    The training graphs differentiate through the whole frame scan;
+    without remat the TPU backward pass of the LL variant blows up XLA
+    compile time superlinearly in (batch x frames) — remat trades
+    recompute for a backward graph the compiler can schedule. For the LL
+    variant even the remat'ed monolithic backward does not compile at
+    production shapes, so ``chunk > 0`` additionally truncates BPTT: the
+    frame axis is scanned in chunks of ``chunk`` frames with the carried
+    streaming state ``stop_gradient``-ed at chunk boundaries. The
+    FORWARD values are identical to the monolithic scan (state still
+    flows); only gradient flow across chunk borders is cut, and the
+    backward program size becomes that of one chunk (measured on TPU v5
+    lite: batch 8 x 200 frames compiles in ~35 s at chunk 25 where the
+    monolithic LL backward previously never finished)."""
     import jax
 
     body = jax.checkpoint(
         lambda s, xf: dfn3.dfn_frame(params, s, xf, atten_lim_db)[:2])
-    return jax.lax.scan(body, st, frames)
+    n_frames = frames.shape[0]
+    if chunk <= 0 or n_frames <= chunk or n_frames % chunk:
+        return jax.lax.scan(body, st, frames)
+
+    def outer(carry, chunk_frames):
+        st_in = jax.tree_util.tree_map(jax.lax.stop_gradient, carry)
+        st_out, ys = jax.lax.scan(body, st_in, chunk_frames)
+        return st_out, ys
+
+    st_out, ys = jax.lax.scan(
+        outer, st, frames.reshape((n_frames // chunk, chunk)
+                                  + frames.shape[1:]))
+    return st_out, ys.reshape((n_frames,) + ys.shape[2:])
 
 
-def train(clean, noisy, steps, batch, lr, seed, low_latency=True):
+def train(clean, noisy, steps, batch, lr, seed, low_latency=True,
+          tbptt_frames=0, init_params=None):
     import jax
     import jax.numpy as jnp
     import optax
 
     from audioforge_tpu.models import dfn3
 
-    params = dfn3.init_params(seed & 0xFFFF)
+    params = (dict(init_params) if init_params is not None
+              else dfn3.init_params(seed & 0xFFFF))
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
     # LL: output frame t reconstructs input frame t-1 (1-frame OLA latency).
@@ -187,7 +212,7 @@ def train(clean, noisy, steps, batch, lr, seed, low_latency=True):
     def seq_loss(params, noisy_frames, clean_frames):
         st = dfn3.dfn_state_init(lookahead=not low_latency)
         _, ys = _remat_frames(dfn3, params, st, noisy_frames,
-                              TRAIN_ATTEN_LIM_DB)
+                              TRAIN_ATTEN_LIM_DB, chunk=tbptt_frames)
         est = ys[lat_frames:]
         ref = clean_frames[:-lat_frames]
         # compressed spectral magnitude L2 (DeepFilterNet loss shape) on the
@@ -247,7 +272,7 @@ def train(clean, noisy, steps, batch, lr, seed, low_latency=True):
 
 
 def finetune(clean, noisy, kinds, params, steps, batch, lr, seed,
-             low_latency=True):
+             low_latency=True, tbptt_frames=0):
     """Phase 2: optimise the held-out metric itself — waveform SI-SDR at
     the production 30 dB attenuation limit, backpropagated through the
     full ``dfn_frames`` graph. Per-kind objectives: mix -> SI-SDR
@@ -275,7 +300,8 @@ def finetune(clean, noisy, kinds, params, steps, batch, lr, seed,
 
     def seq_est(params, noisy_frames):
         st = dfn3.dfn_state_init(lookahead=not low_latency)
-        _, ys = _remat_frames(dfn3, params, st, noisy_frames, 30.0)
+        _, ys = _remat_frames(dfn3, params, st, noisy_frames, 30.0,
+                              chunk=tbptt_frames)
         return ys[lat:].reshape(-1)
 
     def loss_fn(params, b_noisy, b_ref, b_base, b_energy, b_kind):
@@ -483,6 +509,19 @@ def main() -> int:
     parser.add_argument("--output", type=Path, default=None)
     parser.add_argument("--heldout-pairs", type=int, default=24)
     parser.add_argument(
+        "--init-from", type=Path, default=None,
+        help="initialise training from an existing trained archive "
+             "(e.g. models/dfn3.npz: the params pytree is shared between "
+             "variants — only the streaming state differs — so the LL "
+             "variant can start from the trained standard checkpoint "
+             "instead of from scratch)")
+    parser.add_argument(
+        "--tbptt-frames", type=int, default=None,
+        help="truncated-BPTT chunk (frames) for the training scans; "
+             "default 25 for the LL variant (whose monolithic backward "
+             "does not compile at production shapes) and 0 (off) for "
+             "standard")
+    parser.add_argument(
         "--eval-only", action="store_true",
         help="skip training: load the committed archive, re-run the "
              "seeded held-out evaluation (deterministic, so measurements "
@@ -537,16 +576,27 @@ def main() -> int:
     print(f"corpus {noisy.shape} in {time.time() - t0:.0f}s; training...",
           flush=True)
 
+    tbptt = (args.tbptt_frames if args.tbptt_frames is not None
+             else (25 if low_latency else 0))
+    init_params = None
+    if args.init_from is not None:
+        import jax.numpy as jnp
+        archive = np.load(args.init_from, allow_pickle=False)
+        init_params = {k: jnp.asarray(archive[k]) for k in archive.files
+                       if not k.startswith("__")}
+        print(f"initialising from {args.init_from}", flush=True)
     params, history = train(
         clean, noisy, args.steps, args.batch, args.lr, args.seed,
-        low_latency=low_latency)
+        low_latency=low_latency, tbptt_frames=tbptt,
+        init_params=init_params)
     ft_history, ft_selection = [], None
     if args.ft_steps > 0:
         print("phase 2: SI-SDR fine-tune at the production atten limit...",
               flush=True)
         params, ft_history, ft_selection = finetune(
             clean, noisy, kinds, params, args.ft_steps, args.batch,
-            args.ft_lr, args.seed, low_latency=low_latency)
+            args.ft_lr, args.seed, low_latency=low_latency,
+            tbptt_frames=tbptt)
 
     pairs = heldout_si_sdr(params, args.heldout_pairs, args.seed + 1,
                            low_latency=low_latency)
@@ -594,6 +644,9 @@ def main() -> int:
             "steps": args.steps,
             "batch": args.batch,
             "lr": args.lr,
+            "tbptt_frames": tbptt,
+            "initialized_from": (str(args.init_from)
+                                 if args.init_from else "scratch"),
             "train_atten_lim_db": TRAIN_ATTEN_LIM_DB,
             "loss_history": history[-8:],
             "finetune": {

@@ -92,6 +92,33 @@ def _sequence(rng, seconds: float, kind: str):
             noise = _noise("pink", rng, n)
             audio += noise * 10.0 ** (rng.uniform(-40.0, -28.0) / 20.0)
         return audio, active
+    if kind == "plain":
+        # clean pulse-train/formant voices (the analysis layer's
+        # voiced-capture family) as explicit positives: with tone
+        # confounders as hard negatives but no static-spectrum speech
+        # positives, the model learns "steady harmonic complex => not
+        # speech" and silently breaks Auto-EQ voiced-window selection
+        # (round-4 regression, tests/test_analysis.py)
+        from audioforge_tpu.analysis.speech_synth import (
+            synthesize_plain_voice,
+            synthesize_test_voice,
+        )
+
+        if rng.uniform() < 0.5:
+            voice, env = synthesize_plain_voice(rng, seconds)
+        else:
+            # the analysis suite's exact capture family (fixed formants,
+            # 0.65-duty envelope at 1 Hz)
+            voice = synthesize_test_voice(
+                seconds, int(rng.integers(1 << 31)))
+            t = np.arange(voice.size) / float(SAMPLE_RATE)
+            env = np.mod(t, 1.0) < 0.65
+        audio[: voice.size] = voice[:n]
+        active[: env.size] = env[:n]
+        if rng.uniform() < 0.5:
+            noise = _noise("pink", rng, n)
+            audio += noise * 10.0 ** (rng.uniform(-46.0, -34.0) / 20.0)
+        return audio, active
     if kind != "noise":
         profile = (
             rng.uniform(*F0_RANGE),
@@ -134,7 +161,7 @@ def build_corpus(n_seqs: int, seconds: float, seed: int):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    kinds = ["mix", "mix", "mix", "noise", "clean", "confounder"]
+    kinds = ["mix", "mix", "mix", "noise", "clean", "confounder", "plain"]
     n_windows = int(seconds * SAMPLE_RATE) // WINDOW_IN_48K
     model_ins = np.zeros((n_seqs, n_windows, 576), np.float32)
     labels = np.zeros((n_seqs, n_windows), np.float32)
@@ -276,6 +303,82 @@ def corpus_auc(params, split=None):
     return auc, conf_auc, len(speech_scores), len(noise_scores)
 
 
+# ---------------------------------------------------------------------------
+# Downstream analysis-layer contract: a gate-passing checkpoint must not
+# break Auto-EQ's voiced-capture validation (the round-4 cross-layer
+# regression this gate exists to catch; reference keeps the analogous
+# paired contracts in `python/tests/test_auto_eq.py:309-474`)
+# ---------------------------------------------------------------------------
+
+# the exact clean-voice family the analysis tests drive Auto-EQ with
+# (tests/test_analysis.py::synth_voice delegates to synthesize_test_voice),
+# plus the randomized plain pulse-train family for breadth
+TEST_VOICE_SEEDS = (0, 3)
+PLAIN_VOICE_SEEDS = (101, 202, 303)
+MIN_DOWNSTREAM_VOICED_RATIO = 0.45
+
+
+def downstream_voiced_capture(params):
+    """Evaluate the candidate checkpoint against the analysis layer:
+    offline-VAD-masked voiced window ratio on pinned clean voices from
+    BOTH clean-voice families, plus full Auto-EQ validation on the exact
+    signal the analysis tests use. Runs entirely from ``params``
+    (nothing read from or written to ``models/``)."""
+    from audioforge_tpu.analysis import auto_eq, spectrum
+    from audioforge_tpu.analysis.speech_synth import (
+        synthesize_plain_voice,
+        synthesize_test_voice,
+    )
+    from audioforge_tpu.models.silero import analyze_vad_probabilities
+
+    def posteriors(voice):
+        return np.clip(np.asarray(
+            analyze_vad_probabilities(voice, SAMPLE_RATE, 0.48,
+                                      params=params), float), 0.0, 1.0)
+
+    ratios = {}
+    auto_eq_passed = None
+    auto_eq_reason = None
+    for seed in TEST_VOICE_SEEDS:
+        voice = synthesize_test_voice(4.0, seed)
+        probs = posteriors(voice)
+        res = spectrum.analyze_voice_spectrum(
+            voice, SAMPLE_RATE, vad_probabilities=probs)
+        ratios[f"test_voice_{seed}"] = round(
+            float(res.voiced_window_ratio), 4)
+        if seed == TEST_VOICE_SEEDS[-1]:
+            # the full Auto-EQ stack on the exact capture the analysis
+            # tests assert on (test_auto_eq_gain_bounds_and_adjacency)
+            try:
+                _, validation = auto_eq.analyze_auto_eq(
+                    voice, SAMPLE_RATE,
+                    chain_settings={"compressor": {"enabled": False}},
+                    vad_probabilities=probs)
+                auto_eq_passed = bool(validation.passed)
+                auto_eq_reason = None if validation.passed else str(
+                    validation.reason)
+            except ValueError as exc:
+                auto_eq_passed = False
+                auto_eq_reason = str(exc)
+    for seed in PLAIN_VOICE_SEEDS:
+        voice, _ = synthesize_plain_voice(np.random.default_rng(seed), 4.0)
+        res = spectrum.analyze_voice_spectrum(
+            voice, SAMPLE_RATE, vad_probabilities=posteriors(voice))
+        ratios[f"plain_voice_{seed}"] = round(
+            float(res.voiced_window_ratio), 4)
+    worst = min(ratios.values())
+    return {
+        "pinned_captures": sorted(ratios),
+        "voiced_window_ratio_by_capture": ratios,
+        "worst_voiced_window_ratio": round(float(worst), 4),
+        "auto_eq_validation_passed": auto_eq_passed,
+        "auto_eq_validation_reason": auto_eq_reason,
+        "min_voiced_window_ratio": MIN_DOWNSTREAM_VOICED_RATIO,
+        "passed": bool(worst >= MIN_DOWNSTREAM_VOICED_RATIO
+                       and auto_eq_passed),
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--seqs", type=int, default=160)
@@ -304,13 +407,29 @@ def main() -> int:
           f"({sp_h}/{no_h} windows), all {auc_all:.4f}, "
           f"confounder {conf_held}", flush=True)
 
-    args.output.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(
-        args.output,
-        **{k: np.asarray(v, np.float32) for k, v in params.items()},
-        __provenance__=np.asarray("trained"),
+    print("downstream voiced-capture contract...", flush=True)
+    downstream = downstream_voiced_capture(params)
+    print(f"downstream: {downstream}", flush=True)
+
+    gates_passed = bool(
+        auc_held >= 0.90
+        and (conf_held is None or conf_held >= 0.85)
+        and downstream["passed"]
     )
-    print(f"wrote {args.output}", flush=True)
+    if gates_passed:
+        # the archive is only ever replaced by a checkpoint that passes
+        # BOTH the discrimination gates and the downstream analysis-layer
+        # contract — a failing retrain can no longer overwrite working
+        # weights
+        args.output.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            args.output,
+            **{k: np.asarray(v, np.float32) for k, v in params.items()},
+            __provenance__=np.asarray("trained"),
+        )
+        print(f"wrote {args.output}", flush=True)
+    else:
+        print("gates failed — existing archive left untouched", flush=True)
 
     report = {
         "schema_version": 1,
@@ -342,10 +461,11 @@ def main() -> int:
         "domain_claim": (
             "all numbers hold in the synthetic formant-speech domain "
             "(analysis/speech_synth.py: glottal source + 3 formants + "
-            "fricatives/plosives + speech-built babble) with tone "
-            "confounders as hard negatives; no real-speech corpus exists "
-            "in this egress-free environment, so real-speech capability "
-            "binds only once converted official archives are supplied"
+            "fricatives/plosives + speech-built babble + clean pulse-train "
+            "plain voices) with tone confounders as hard negatives; no "
+            "real-speech corpus exists in this egress-free environment, so "
+            "real-speech capability binds only once converted official "
+            "archives are supplied"
         ),
         "pinned_corpus_auc": {
             "held_out_speakers": round(auc_held, 4),
@@ -357,12 +477,14 @@ def main() -> int:
             "speech_confounder_auc_all": (
                 None if conf_all is None else round(conf_all, 4)),
         },
+        "downstream_analysis_contract": downstream,
         "gates": {
             "min_held_out_auc": 0.90,
             "min_speech_confounder_auc": 0.85,
-            "passed": bool(auc_held >= 0.90
-                           and (conf_held is None or conf_held >= 0.85)),
+            "downstream_voiced_capture_passed": downstream["passed"],
+            "passed": gates_passed,
         },
+        "archive_written": gates_passed,
         "archive": str(args.output.relative_to(REPO_ROOT))
         if args.output.is_relative_to(REPO_ROOT) else str(args.output),
     }
