@@ -462,15 +462,34 @@ HELDOUT_SNR_GRID_DB = (5.0, 0.0, -5.0)
 def heldout_si_sdr(params, n_pairs: int, seed: int, low_latency=True):
     """Held-out SI-SDR improvement through the FULL staging processor at
     the production runtime config (30 dB attenuation limit). Heldout
-    measures the UNWEIGHTED deployment distribution."""
+    measures the UNWEIGHTED deployment distribution.
+
+    The gate requires both masker classes represented (>= 4 pure-babble /
+    >= 12 non-babble, `_model_gates.py`); an unlucky uniform draw can
+    under-fill a class, so after the base draw the SAME rng stream keeps
+    drawing until the counts are met (pairs are only ever ADDED — every
+    drawn pair scores, so the top-up cannot cherry-pick)."""
+    from _model_gates import MIN_BABBLE_PAIRS, MIN_NONBABBLE_PAIRS
+
     from audioforge_tpu.models import dfn3
 
     rng = np.random.default_rng(seed)
     uniform_snr = tuple(1.0 / len(HELDOUT_SNR_GRID_DB)
                         for _ in HELDOUT_SNR_GRID_DB)
     uniform_cats = {c: 1.0 / len(NOISE_CATEGORIES) for c in NOISE_CATEGORIES}
+
+    def counts(rows):
+        babble = sum(1 for r in rows if set(r["categories"]) == {"babble"})
+        return babble, len(rows) - babble
+
     rows = []
-    for _ in range(n_pairs):
+    while True:
+        if len(rows) >= n_pairs:
+            n_babble, n_non = counts(rows)
+            if ((n_babble >= MIN_BABBLE_PAIRS
+                 and n_non >= MIN_NONBABBLE_PAIRS)
+                    or len(rows) >= n_pairs + 16):
+                break
         info: dict = {}
         clean, noisy = _sequence(
             rng, 3.0, "mix", snr_grid=HELDOUT_SNR_GRID_DB,
@@ -552,7 +571,7 @@ def main() -> int:
         report = json.loads((EVALUATION_DIR / name).read_text())
         report["generated_at_utc"] = utc_now()
         report["heldout"] = {
-            "pairs": args.heldout_pairs,
+            "pairs": len(pairs),
             "runtime_atten_lim_db": 30.0,
             "si_sdr_improvements_db": [round(v, 3) for v in improvements],
             "per_pair": [
@@ -668,7 +687,7 @@ def main() -> int:
             "(docs/dfn3_graph.md) once archives are supplied"
         ),
         "heldout": {
-            "pairs": args.heldout_pairs,
+            "pairs": len(pairs),
             "runtime_atten_lim_db": 30.0,
             "si_sdr_improvements_db": [round(v, 3) for v in improvements],
             "per_pair": [
