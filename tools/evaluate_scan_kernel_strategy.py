@@ -116,6 +116,98 @@ def evaluate():
                / max(results["pallas"]["ms_per_block"], 1e-12))
     retain_pallas = speedup >= PALLAS_RETENTION_SPEEDUP
 
+    # ------------------------------------------------------------------
+    # Roofline: per-dependent-op issue latency ladder (VERDICT r4 weak #8)
+    #
+    # A scan step whose body is a chain of K *dependent* vector ops
+    # costs overhead + K * slope; fitting (K, time) pins the VPU's
+    # dependent-op latency and the per-step loop overhead. Against the
+    # stage-cost record's measured full-chain per-step time this states
+    # how many dependent ops the chain is worth and what the sequential
+    # floor is — the quantified ceiling behind "a custom kernel cannot
+    # shorten the dependency chain".
+    # ------------------------------------------------------------------
+    BH = 1024  # the headline fleet width
+
+    def chain_time(k: int, dtype) -> float:
+        xs_h = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (R, T, BH)).astype(np.float32)).astype(dtype)
+
+        def stepk(env, v):
+            acc = env
+            for _ in range(k):
+                acc = acc * jnp.float32(0.97).astype(dtype) + v
+            return acc, ()
+
+        @jax.jit
+        def run(xs):
+            def outer(env, x):
+                env, _ = jax.lax.scan(stepk, env, x, unroll=8)
+                return env, ()
+            env, _ = jax.lax.scan(
+                outer, jnp.zeros((BH,), dtype), xs)
+            return jnp.sum(env.astype(jnp.float32))
+
+        float(run(xs_h))
+        best = 1e9
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(run(xs_h))
+            best = min(best, time.perf_counter() - t0)
+        return best / (R * T)  # seconds per sequential step
+
+    ladder = {k: chain_time(k, jnp.float32) for k in (1, 4, 16, 64)}
+    ks = sorted(ladder)
+    # least-squares fit: t = overhead + k * slope
+    import numpy as _np
+    A = _np.stack([_np.ones(len(ks)), _np.asarray(ks, float)], axis=1)
+    coef, *_ = _np.linalg.lstsq(A, _np.asarray(
+        [ladder[k] for k in ks]), rcond=None)
+    overhead_ns, slope_ns = coef[0] * 1e9, coef[1] * 1e9
+
+    # measured full-chain per-sequential-step cost from the committed
+    # stage-cost record (same fleet width)
+    chain_step_ns = None
+    implied_depth = None
+    try:
+        import json as _json
+        sc = _json.loads((REPO_ROOT / "evaluation"
+                          / "stage-cost-report.json").read_text())
+        if sc.get("platform") == platform:
+            full = next(r for r in sc["stages"]
+                        if "full chain" in r["stage"])
+            chain_step_ns = full["per_block_ms"] * 1e6 / T
+            implied_depth = max(0.0, (chain_step_ns - overhead_ns)
+                                / max(slope_ns, 1e-9))
+    except (OSError, StopIteration, KeyError, ValueError):
+        pass
+
+    # mixed-precision A/B: does bf16 state shorten the dependency chain?
+    bf16_16 = chain_time(16, jnp.bfloat16)
+    mixed_precision = {
+        "f32_k16_step_us": round(ladder[16] * 1e6, 4),
+        "bf16_k16_step_us": round(bf16_16 * 1e6, 4),
+        "bf16_speedup": round(ladder[16] / max(bf16_16, 1e-12), 3),
+    }
+
+    roofline = {
+        "method": (
+            "scan bodies with K chained dependent vector ops at the "
+            "headline lane width; least-squares fit t = overhead + "
+            "K*slope; implied_chain_depth = (measured full-chain "
+            "per-step cost - overhead) / slope"),
+        "lane_width": BH,
+        "step_us_by_depth": {str(k): round(v * 1e6, 4)
+                             for k, v in ladder.items()},
+        "per_step_overhead_ns": round(overhead_ns, 1),
+        "per_dependent_op_ns": round(slope_ns, 2),
+        "full_chain_step_ns_from_stage_cost": (
+            round(chain_step_ns, 1) if chain_step_ns else None),
+        "implied_chain_dependent_ops": (
+            round(implied_depth, 1) if implied_depth is not None else None),
+        "mixed_precision": mixed_precision,
+    }
+
     return {
         "schema_version": 1,
         "report": "scan-kernel-strategy",
@@ -127,6 +219,7 @@ def evaluate():
         },
         "results": results,
         "parity": parity,
+        "roofline": roofline,
         "decision": {
             "pallas_speedup": speedup,
             "retained": "xla_scan" if not retain_pallas else "pallas",
