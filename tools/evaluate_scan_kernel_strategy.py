@@ -206,6 +206,17 @@ def evaluate():
         "implied_chain_dependent_ops": (
             round(implied_depth, 1) if implied_depth is not None else None),
         "mixed_precision": mixed_precision,
+        "interpretation": (
+            "Reading: a K=1 scan step already costs ~1 us and 64 chained "
+            "ops add only ~0.2 us, so at headline lane width the "
+            "sequential stages are bound by per-step FIXED overhead "
+            "(loop control + state pytree read/modify/write), not by "
+            "dependency-chain issue latency. implied_chain_dependent_ops "
+            "therefore overstates logical depth; read it as 'full-chain "
+            "per-step cost in one-op scan-step units'. Levers: fuse more "
+            "stages into one scan (near-free per-step body growth); bf16 "
+            "state buys nothing (issue rate, not bandwidth, sets the "
+            "floor), so f32 state and the 1e-4 parity budget stay."),
     }
 
     return {
