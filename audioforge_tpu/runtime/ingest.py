@@ -93,16 +93,26 @@ class NativeIngest:
             self._lib.afx_ingest_destroy(handle)
             self._handle = None
 
+    # the native shim bounds one push to its fixed stack buffers
+    # (`native/ingest.cpp` kMaxChunk); catch-up reads after a scheduling
+    # stall can exceed it, so pushes are chunked here
+    MAX_PUSH_FRAMES = 8192
+
     def push(self, interleaved: np.ndarray) -> int:
         """Feed interleaved float32 frames ``[n, channels]`` (or mono
         ``[n]``); returns frames written to the ring."""
         buf = np.ascontiguousarray(interleaved, np.float32)
         frames = buf.shape[0]
-        written = self._lib.afx_ingest_push(
-            self._handle,
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            frames,
-        )
-        if written < 0:
-            raise RuntimeError(f"native ingest error {written}")
-        return int(written)
+        total = 0
+        for start in range(0, frames, self.MAX_PUSH_FRAMES):
+            chunk = np.ascontiguousarray(
+                buf[start: start + self.MAX_PUSH_FRAMES])
+            written = self._lib.afx_ingest_push(
+                self._handle,
+                chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                chunk.shape[0],
+            )
+            if written < 0:
+                raise RuntimeError(f"native ingest error {written}")
+            total += int(written)
+        return total

@@ -45,7 +45,7 @@ from ..ops import gate as gate_ops
 from ..ops import mixdown as mixdown_ops
 from ..ops import eq as eq_ops
 from . import live_chain as lc
-from .output_writer import OutputWriteController
+from .output_writer import OUTPUT_PRIME_MS, OutputWriteController
 from .ringbuffer import AudioRing
 
 __all__ = [
@@ -330,7 +330,12 @@ class AudioProcessor:
         # realtime (this dev host: span-1 is ~0.26x realtime, span-8 is
         # >1.3x). Latency grows by the documented (H-1)*10 ms + scaled
         # output priming; the production TPU target keeps H=1.
-        self._host_block_multiple = max(1, min(16, int(os.environ.get(
+        # Cap 64: on dispatch-bound dev hosts (tunnelled TPU) the fixed
+        # per-dispatch cost (~120 ms measured r5: 3 device calls x tunnel
+        # RTT + host-side staging) needs ~46+ blocks to amortize under
+        # the 10 ms block period; the engine reports the added latency
+        # honestly (engine_latency_ms scales with the step).
+        self._host_block_multiple = max(1, min(64, int(os.environ.get(
             "AUDIOFORGE_HOST_BLOCK_MULTIPLE", "1"))))
         if self._host_block_multiple > 1:
             self._max_drain_blocks = max(
@@ -461,10 +466,17 @@ class AudioProcessor:
             out_name, sink, _out_rate = _resolve("output", output_device)
             self._input_device_rate = in_rate
 
-            cap = SAMPLE_RATE  # 1 s of staging, matches reference rings
+            # 1 s of staging matches the reference rings at H=1; a host
+            # step of H blocks legitimately swings the queues by multiple
+            # steps (input lands and is consumed in H-block chunks, the
+            # backlog-drop line sits 2 steps up), so capacity scales with
+            # the step to keep ring-full drops impossible below the
+            # documented drop threshold
+            step_cap = 4 * self._host_block_multiple * BLOCK
+            cap = max(SAMPLE_RATE, step_cap)
             self._in_ring = AudioRing(cap)
             self._out_ring = AudioRing(cap)
-            self._vad_ring = AudioRing(cap)
+            self._vad_ring = AudioRing(max(SAMPLE_RATE, step_cap))
 
             self._stop_event = threading.Event()
             self._active_input = in_name
@@ -665,6 +677,11 @@ class AudioProcessor:
             except Exception:
                 with self._lock:
                     self._counters["input_callback_error_count"] += 1
+                    first_error = (
+                        self._counters["input_callback_error_count"] == 1)
+                if first_error:
+                    import traceback
+                    traceback.print_exc()
                 block = np.zeros(BLOCK, np.float32)
             self._in_ring.write(block)
             with self._lock:
@@ -686,6 +703,22 @@ class AudioProcessor:
         last_sample = 0.0
         # prime: wait for the DSP to produce before draining
         self._dsp_ready.wait(timeout=300.0)
+        # fill-based priming: with a host step of H blocks the DSP lands
+        # audio in H-block bursts, so draining must not start until a
+        # step-plus-cushion of audio is queued — starting on the ready
+        # event alone leaves the consumer a full step ahead of the first
+        # burst and every cycle underruns by the burst's compute lag
+        # (reference primes 30 ms for its H=1 stream, `dsp_loop.rs:259`)
+        prime_samples = max(
+            int(OUTPUT_PRIME_MS / 1e3 * SAMPLE_RATE),
+            (self._host_block_multiple + 2) * BLOCK,
+        )
+        prime_deadline = time.perf_counter() + 300.0
+        while (not self._stop_event.is_set()
+               and self._out_ring.available() < prime_samples
+               and time.perf_counter() < prime_deadline):
+            time.sleep(0.002)
+        next_at = time.perf_counter()
         while not self._stop_event.is_set():
             block = self._out_ring.read(BLOCK)
             with self._lock:
