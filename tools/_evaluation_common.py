@@ -46,7 +46,22 @@ def write_report(name: str, report: dict) -> Path:
                 == _without_generation_stamp(report)):
             print(f"unchanged {path.relative_to(_REPO_ROOT)}")
             return path
-    payload = json.dumps(report, indent=2, sort_keys=True, allow_nan=False)
+    payload = json.dumps(report, indent=2, sort_keys=True, allow_nan=False,
+                         default=_json_default)
     path.write_text(payload + "\n", encoding="utf-8")
     print(f"wrote {path.relative_to(_REPO_ROOT)}")
     return path
+
+
+def _json_default(value):
+    """Numpy scalars leak into report dicts easily (a single un-cast
+    ``float32`` crashes the whole record); coerce them here."""
+    import numpy as _np
+
+    if isinstance(value, (_np.floating, _np.integer)):
+        return value.item()
+    if isinstance(value, _np.bool_):
+        return bool(value)
+    if isinstance(value, _np.ndarray):
+        return value.tolist()
+    raise TypeError(f"not JSON serializable: {type(value).__name__}")

@@ -69,12 +69,15 @@ def _floor_db(categories) -> float:
 
 
 def compute_si_sdr_gates(per_pair, *, min_pairs: int = 24,
-                         min_median_db: float = 5.0) -> dict:
+                         min_median_db: float = 5.0,
+                         babble_floor_db: float | None = None) -> dict:
     """Gate block for a held-out pair list.
 
     ``per_pair``: iterable of dicts with ``improvement_db`` and
     ``categories`` (list of noise-category names for the pair's mix).
     """
+    babble_floor = (BABBLE_FLOOR_DB if babble_floor_db is None
+                    else float(babble_floor_db))
     pairs = list(per_pair)
     improvements = [float(p["improvement_db"]) for p in pairs]
     med = float(np.median(improvements)) if improvements else float("-inf")
@@ -89,12 +92,12 @@ def compute_si_sdr_gates(per_pair, *, min_pairs: int = 24,
               and len(babble) >= MIN_BABBLE_PAIRS
               and len(nonbabble) >= MIN_NONBABBLE_PAIRS
               and worst_nonbabble >= NONBABBLE_FLOOR_DB
-              and worst_babble >= BABBLE_FLOOR_DB)
+              and worst_babble >= babble_floor)
     return {
         "min_pairs": min_pairs,
         "min_median_improvement_db": min_median_db,
         "min_nonbabble_pair_improvement_db": NONBABBLE_FLOOR_DB,
-        "min_babble_pair_improvement_db": BABBLE_FLOOR_DB,
+        "min_babble_pair_improvement_db": babble_floor,
         "min_babble_pairs": MIN_BABBLE_PAIRS,
         "min_nonbabble_pairs": MIN_NONBABBLE_PAIRS,
         "babble_pairs": len(babble),
