@@ -29,14 +29,18 @@ def _without_generation_stamp(report: dict) -> dict:
             if k not in ("generated_at", "generated_at_utc")}
 
 
-def write_report(name: str, report: dict) -> Path:
+def write_report(name: str, report: dict, *, force: bool = False) -> Path:
     EVALUATION_DIR.mkdir(parents=True, exist_ok=True)
     path = EVALUATION_DIR / name
     # Idempotent: tracked decision records should only change when their
     # CONTENT changes — a re-run that reproduces the same metrics/gates
     # keeps the existing file (and its generation stamp) so test-suite
     # regenerations don't churn version control with timestamp-only diffs.
-    if path.exists():
+    # ``force=True`` writes the fresh stamp even when content is equal:
+    # used when a record is deliberately re-verified under a changed
+    # evaluator so the freshness guard (check_report_gates) can see the
+    # verification.
+    if path.exists() and not force:
         try:
             existing = json.loads(path.read_text(encoding="utf-8"))
         except (OSError, ValueError):
