@@ -115,6 +115,14 @@ path = sys.argv[1]
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.pop("AUDIOFORGE_JAX_CACHE", None)
 os.environ.pop("AUDIOFORGE_NO_COMPILE_CACHE", None)
+# the sharded-executable serializer is a separate code path that can
+# crash where the single-device one works (observed: SIGSEGV writing a
+# mesh-sharded executable while trivial programs cached fine), so the
+# probe exercises BOTH on a virtual multi-device mesh
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2").strip()
 import jax, jax.numpy as jnp
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", path)
@@ -122,6 +130,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 fn = jax.jit(lambda x: jnp.tanh(x) * 2.0 + jnp.sum(x))
 fn(np.ones((64,), np.float32)).block_until_ready()
+devs = jax.devices()
+if len(devs) >= 2:
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    mesh = Mesh(np.asarray(devs[:2]), ("s",))
+    sharding = NamedSharding(mesh, PartitionSpec("s"))
+    xs = jax.device_put(np.ones((2, 64), np.float32), sharding)
+    sfn = jax.jit(lambda x: jnp.tanh(x) * 0.5 + 1.0,
+                  out_shardings=sharding)
+    jax.block_until_ready(sfn(xs))
 names = [n for n in os.listdir(path) if not n.startswith(".")]
 sys.exit(0 if names else 3)
 """

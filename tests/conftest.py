@@ -79,3 +79,23 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)
+
+
+@pytest.fixture
+def no_persistent_cache():
+    """Disable the persistent compile cache for the duration of a test.
+
+    The jaxlib serializer can SIGSEGV while WRITING large executables
+    (r4 judged runs died inside ``put_executable_and_time`` during
+    test_serving; r5 reproduced it on the mesh-sharded serving graph).
+    The affected graphs are one-off test shapes that gain nothing from
+    cross-run caching, so the cache is simply off around them — reads
+    and writes both."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

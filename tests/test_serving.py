@@ -12,6 +12,10 @@ numerics to the single-stream live chain.
 import numpy as np
 import pytest
 
+# the jaxlib serializer can crash writing this module's large
+# (mesh-sharded / lifecycle) executables — see conftest fixture
+pytestmark = pytest.mark.usefixtures("no_persistent_cache")
+
 import jax
 import jax.numpy as jnp
 

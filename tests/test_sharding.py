@@ -8,6 +8,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# the jaxlib serializer can crash writing this module's large
+# (mesh-sharded / lifecycle) executables — see conftest fixture
+pytestmark = pytest.mark.usefixtures("no_persistent_cache")
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from audioforge_tpu.ops import compressor as comp_ops
